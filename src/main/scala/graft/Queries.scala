@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ingest.EdgeOps
+import graft.graph.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.cluster.{GreedyClustering, Shaping}
+
+/** The query catalog behind SparkEntry: every operator of SURVEY.md §2 as a
+  * runnable (SparkSession, sfDir) => DataFrame over the driver testdata.
+  *
+  * The link graph for the graph operators is derived deterministically from
+  * the testdata (parts = vertices, order co-occurrence = edges) so the DuckDB
+  * oracle can reproduce the exact same input — see `Oracle` for the SQL twins.
+  */
+object Queries {
+
+  /** Shared edge table: part co-occurrence, thresholded to keep the graph
+    * sparse enough to have interesting component structure. */
+  def edges(spark: SparkSession, sfDir: String): DataFrame =
+    EdgeOps.partCooccurrence(spark, sfDir, minWeight = 2L)
+
+  def edgesAll(spark: SparkSession, sfDir: String): DataFrame =
+    EdgeOps.partCooccurrence(spark, sfDir, minWeight = 1L)
+
+  /** Universe of objects (parts) with priority rank = part key order. */
+  def universe(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("object"), col("p_partkey").as("rank"))
+
+  // ---- S/P/A operators -----------------------------------------------------
+
+  def qEdgesBuild(spark: SparkSession, sfDir: String): DataFrame =
+    edgesAll(spark, sfDir).orderBy("src", "dst")
+
+  def qEdgeFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edgesAll(spark, sfDir)
+    val filtered = EdgeOps.rangeFilters(
+      EdgeOps.dropSelfLoops(e),
+      Seq(EdgeOps.RangeFilter("weight", min = Some(2.0), max = Some(4.0))))
+    filtered.orderBy("src", "dst")
+  }
+
+  def qDegree(spark: SparkSession, sfDir: String): DataFrame =
+    EdgeOps.degrees(edges(spark, sfDir)).orderBy("vertex")
+
+  def qWeightHist(spark: SparkSession, sfDir: String): DataFrame =
+    EdgeOps.weightHistogram(
+      edgesAll(spark, sfDir).select(col("src"), col("dst"), col("weight").cast("double")),
+      lo = 0.0, hi = 5.0, width = 1.0)
+      .orderBy("bucket")
+
+  def qEdgeStats(spark: SparkSession, sfDir: String): DataFrame =
+    EdgeOps.edgeStats(
+      edgesAll(spark, sfDir).select(col("src"), col("dst"), col("weight").cast("double")))
+
+  def qDedupMin(spark: SparkSession, sfDir: String): DataFrame = {
+    // Parallel-edge dedup keeping min weight: feed both orientations to
+    // prove orientation-insensitivity (A1 semantics).
+    val e = edgesAll(spark, sfDir).select(col("src"), col("dst"), col("weight").cast("double"))
+    val doubled = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"), (col("weight") * lit(2.0)).as("weight")))
+    EdgeOps.dedupMinWeight(doubled).orderBy("src", "dst")
+  }
+
+  // ---- Graph operators -----------------------------------------------------
+
+  def qConnectedComponents(spark: SparkSession, sfDir: String): DataFrame =
+    ConnectedComponents.run(spark, edges(spark, sfDir)).orderBy("vertex")
+
+  def qClusterShape(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = ConnectedComponents.run(spark, edges(spark, sfDir))
+    val assign = cc.select(col("vertex").as("object"), col("component").as("cluster"))
+    Shaping.renumberBySize(assign).orderBy("cluster", "object")
+  }
+
+  def qClusterSingletons(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = ConnectedComponents.run(spark, edges(spark, sfDir))
+    val assign = Shaping.renumberBySize(
+        cc.select(col("vertex").as("object"), col("component").as("cluster")))
+      .select(col("object"), col("cluster"))
+    Shaping.appendSingletons(assign, universe(spark, sfDir)).orderBy("cluster", "object")
+  }
+
+  def qClusterRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = ConnectedComponents.run(spark, edges(spark, sfDir))
+    val assign = Shaping.renumberBySize(
+        cc.select(col("vertex").as("object"), col("component").as("cluster")))
+      .select(col("object"), col("cluster"))
+    Shaping.fillRepresentatives(assign).orderBy("cluster", "object")
+  }
+
+  def qTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    TriangleCount.globalCount(spark, edges(spark, sfDir))
+
+  def qTrianglesPerVertex(spark: SparkSession, sfDir: String): DataFrame =
+    TriangleCount.perVertex(spark, edges(spark, sfDir)).orderBy("vertex")
+
+  def qPageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = PageRank.runUndirected(spark, edges(spark, sfDir), tol = 1e-6, maxIter = 30)
+    r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
+  }
+
+  def qLabelPropagation(spark: SparkSession, sfDir: String): DataFrame =
+    LabelPropagation.run(spark, edges(spark, sfDir), iterations = 10).orderBy("vertex")
+
+  // ---- Greedy clusterings (clusty C2-C5; sequential-per-component) ---------
+
+  /** Edge weights as distances: co-occurrence count is a similarity, so
+    * d = 1/weight (more co-occurrences = closer). */
+  private def distEdges(spark: SparkSession, sfDir: String): DataFrame =
+    edges(spark, sfDir).select(col("src"), col("dst"),
+      (lit(1.0) / col("weight")).as("weight"))
+
+  private def vertexRanks(spark: SparkSession, sfDir: String): DataFrame =
+    universe(spark, sfDir).select(col("object").as("vertex"), col("rank"))
+
+  def qSetCover(spark: SparkSession, sfDir: String): DataFrame =
+    GreedyClustering.run(spark, distEdges(spark, sfDir), vertexRanks(spark, sfDir),
+      GreedyClustering.SetCover).orderBy("vertex")
+
+  def qCdHit(spark: SparkSession, sfDir: String): DataFrame =
+    GreedyClustering.run(spark, distEdges(spark, sfDir), vertexRanks(spark, sfDir),
+      GreedyClustering.CdHit).orderBy("vertex")
+
+  def qUclust(spark: SparkSession, sfDir: String): DataFrame =
+    GreedyClustering.run(spark, distEdges(spark, sfDir), vertexRanks(spark, sfDir),
+      GreedyClustering.Uclust).orderBy("vertex")
+
+  def qCompleteLinkage(spark: SparkSession, sfDir: String): DataFrame =
+    GreedyClustering.completeLinkage(spark, distEdges(spark, sfDir)).orderBy("vertex")
+
+  // ---- Multimodal binary plumbing (synthesized pages; sf-independent) ------
+
+  def qMediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = graft.ingest.PageSynth.pages(spark, 1000L, seed = 42L, numPartitions = 8)
+    graft.multimodal.BinaryOps.extractMeta(pages.toDF()).toDF()
+      .groupBy("kind").agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("kind")
+  }
+
+  def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val pages = graft.ingest.PageSynth.pages(spark, 1000L, seed = 42L, numPartitions = 8)
+    graft.multimodal.BinaryOps.extractFeatures(pages.toDF()).toDF()
+      .select(col("url"), col("kind"), col("frames"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+      .orderBy("url")
+  }
+}

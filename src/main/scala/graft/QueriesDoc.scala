@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.streaming.EventOps
+import graft.text.TextOps
+
+/** Document / embedding / event queries (training-data-pipeline operator
+  * suite). DuckDB-oracle-compatible outputs: integer-valued columns cast to
+  * long, doubles rounded to 6 places. */
+object QueriesDoc {
+
+  // ---- text analysis -------------------------------------------------------
+
+  def qTokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fingerprint"),
+      TextOps.rollingFingerprint(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+
+  // ---- dedup ---------------------------------------------------------------
+
+  /** Exact dedup keyed on normalized text (SQL-oracle-friendly variant of
+    * Dedup.exact, which keys on the 64-bit fingerprint at scale). */
+  def qExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val norm = docs.select(col("doc_id"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    val g = norm.groupBy("norm")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    norm.join(g, "norm").select(col("doc_id"), col("canonical_id"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  def qNgramPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairsBrute(
+      Tables.documents(spark, sfDir).where(col("doc_id") < 300), threshold = 0.05)
+      .orderBy("a", "b")
+
+  def qMinhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, sfDir), threshold = 0.3)
+      .orderBy("a", "b")
+
+  def qSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashGroups(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  // ---- similarity search ---------------------------------------------------
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  def qAnnTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = emb(spark, sfDir)
+    val queries = emb(spark, sfDir).where(col("id") < 5).toDF("qid", "qvec")
+    Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .select(col("qid"), col("id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
+  def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = emb(spark, sfDir)
+    val queries = emb(spark, sfDir).where(col("id") < 5).toDF("qid", "qvec")
+    Similarity.lshTopK(corpus, queries, k = 10, nBits = 16, bands = 8)
+      .select(col("qid"), col("id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
+  def qEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.nearDupPairs(emb(spark, sfDir), threshold = 0.35, nBits = 16, bands = 8)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+      .orderBy("a", "b")
+
+  // ---- events --------------------------------------------------------------
+
+  def qSessions(spark: SparkSession, sfDir: String): DataFrame =
+    EventOps.sessions(Tables.events(spark, sfDir))
+      .orderBy("user_id", "session_seq")
+
+  def qWindowCounts(spark: SparkSession, sfDir: String): DataFrame =
+    EventOps.windowCounts(Tables.events(spark, sfDir))
+      .orderBy("hour", "event_type")
+
+  def qTopUsers(spark: SparkSession, sfDir: String): DataFrame =
+    EventOps.topUsers(Tables.events(spark, sfDir), n = 10)
+      .select(col("user_id"), col("n_events"), col("value_sum"), col("rank").cast("long").as("rank"))
+      .orderBy("rank")
+
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_val"))
+      .orderBy("event_id")
+}

@@ -1,13 +1,278 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query has a DuckDB-runnable SQL twin in [[oracleSql]] unless the
+  * operator is not SQL-expressible (iterative float fixpoints like PageRank /
+  * label propagation get the driver's rows-only check and are instead
+  * verified against in-test Scala oracles, see src/test).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: connected components of the testdata link graph, shaped with
+    * clusty's output semantics (size-renumbered clusters). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.qClusterShape(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edges_build"      -> (Queries.qEdgesBuild _),
+    "q_edge_filter"      -> (Queries.qEdgeFilter _),
+    "q_degree"           -> (Queries.qDegree _),
+    "q_weight_hist"      -> (Queries.qWeightHist _),
+    "q_edge_stats"       -> (Queries.qEdgeStats _),
+    "q_dedup_min"        -> (Queries.qDedupMin _),
+    "q_cc"               -> (Queries.qConnectedComponents _),
+    "q_cluster_shape"    -> (Queries.qClusterShape _),
+    "q_cluster_singletons" -> (Queries.qClusterSingletons _),
+    "q_cluster_reps"     -> (Queries.qClusterRepresentatives _),
+    "q_triangles"        -> (Queries.qTriangles _),
+    "q_tri_per_vertex"   -> (Queries.qTrianglesPerVertex _),
+    "q_pagerank"         -> (Queries.qPageRank _),
+    "q_lpa"              -> (Queries.qLabelPropagation _),
+    // greedy clusterings (clusty C2-C5; sequential-per-component, no SQL twin)
+    "q_setcover"         -> (Queries.qSetCover _),
+    "q_cdhit"            -> (Queries.qCdHit _),
+    "q_uclust"           -> (Queries.qUclust _),
+    "q_complete_linkage" -> (Queries.qCompleteLinkage _),
+    // multimodal binary plumbing (synthesized pages)
+    "q_media_meta"       -> (Queries.qMediaMeta _),
+    "q_media_features"   -> (Queries.qMediaFeatures _),
+    // documents / text
+    "q_token_stats"      -> (QueriesDoc.qTokenStats _),
+    "q_text_quality"     -> (QueriesDoc.qTextQuality _),
+    "q_langid"           -> (QueriesDoc.qLangId _),
+    "q_fingerprint"      -> (QueriesDoc.qFingerprint _),
+    // dedup
+    "q_exact_dedup"      -> (QueriesDoc.qExactDedup _),
+    "q_ngram_pairs"      -> (QueriesDoc.qNgramPairs _),
+    "q_minhash_pairs"    -> (QueriesDoc.qMinhashPairs _),
+    "q_simhash"          -> (QueriesDoc.qSimhash _),
+    // similarity search
+    "q_ann_topk"         -> (QueriesDoc.qAnnTopK _),
+    "q_ann_lsh"          -> (QueriesDoc.qAnnLsh _),
+    "q_embed_neardup"    -> (QueriesDoc.qEmbedNearDup _),
+    // events
+    "q_sessions"         -> (QueriesDoc.qSessions _),
+    "q_window_counts"    -> (QueriesDoc.qWindowCounts _),
+    "q_top_users"        -> (QueriesDoc.qTopUsers _),
+    "q_json_extract"     -> (QueriesDoc.qJsonExtract _),
+  )
+
+  // ---- DuckDB oracle SQL ---------------------------------------------------
+  // Shared derivation of the link graph (must match Queries.edges* exactly).
+
+  private val EDGES_ALL =
+    """pairs AS (
+      |  SELECT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      |e_all AS (SELECT src, dst, count(*) AS weight FROM pairs GROUP BY src, dst)""".stripMargin
+
+  private val EDGES_T2 =
+    EDGES_ALL + ",\ne AS (SELECT src, dst, weight FROM e_all WHERE weight >= 2)"
+
+  private val CC =
+    EDGES_T2 +
+      """,
+        |bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |verts AS (SELECT DISTINCT src AS v FROM bi),
+        |reach AS (
+        |  WITH RECURSIVE r(v, lbl) AS (
+        |    SELECT v, v FROM verts
+        |    UNION
+        |    SELECT bi.dst, r.lbl FROM r JOIN bi ON r.v = bi.src WHERE r.lbl < bi.dst
+        |  ) SELECT v, min(lbl) AS component FROM r GROUP BY v)""".stripMargin
+
+  private val SHAPED =
+    CC +
+      """,
+        |sizes AS (SELECT component, count(*) AS cluster_size FROM reach GROUP BY component),
+        |renum AS (SELECT component, cluster_size,
+        |  CAST(row_number() OVER (ORDER BY cluster_size DESC, component ASC) - 1 AS BIGINT) AS cluster
+        |  FROM sizes),
+        |shaped AS (SELECT reach.v AS object, renum.cluster, renum.cluster_size
+        |  FROM reach JOIN renum USING (component))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_edges_build" ->
+      s"WITH $EDGES_ALL SELECT src, dst, weight FROM e_all ORDER BY src, dst",
+
+    "q_edge_filter" ->
+      s"""WITH $EDGES_ALL
+         |SELECT src, dst, weight FROM e_all
+         |WHERE src <> dst AND weight >= 2 AND weight <= 4 ORDER BY src, dst""".stripMargin,
+
+    "q_degree" ->
+      s"""WITH $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+         |SELECT src AS vertex, count(*) AS degree FROM bi GROUP BY src ORDER BY vertex""".stripMargin,
+
+    "q_weight_hist" ->
+      s"""WITH $EDGES_ALL
+         |SELECT CASE WHEN CAST(weight AS DOUBLE) >= 5.0 THEN 5
+         |            ELSE CAST(FLOOR(CAST(weight AS DOUBLE) / 1.0) AS BIGINT) END AS bucket,
+         |       count(*) AS n
+         |FROM e_all GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_edge_stats" ->
+      s"""WITH $EDGES_ALL
+         |SELECT count(*) AS n_edges,
+         |       count(DISTINCT src) AS n_src,
+         |       count(DISTINCT dst) AS n_dst,
+         |       min(CAST(weight AS DOUBLE)) AS min_weight,
+         |       max(CAST(weight AS DOUBLE)) AS max_weight
+         |FROM e_all""".stripMargin,
+
+    "q_dedup_min" ->
+      s"""WITH $EDGES_ALL
+         |SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM e_all ORDER BY src, dst""".stripMargin,
+
+    "q_cc" ->
+      s"WITH $CC SELECT v AS vertex, component FROM reach ORDER BY vertex",
+
+    "q_cluster_shape" ->
+      s"WITH $SHAPED SELECT object, cluster, cluster_size FROM shaped ORDER BY cluster, object",
+
+    "q_cluster_singletons" ->
+      s"""WITH $SHAPED,
+         |assign AS (SELECT object, cluster FROM shaped),
+         |n AS (SELECT CAST(coalesce(max(cluster) + 1, 0) AS BIGINT) AS nclu FROM assign),
+         |single AS (SELECT p.p_partkey AS object,
+         |    CAST((SELECT nclu FROM n) + row_number() OVER (ORDER BY p.p_partkey ASC) - 1 AS BIGINT) AS cluster
+         |  FROM part p WHERE p.p_partkey NOT IN (SELECT object FROM assign))
+         |SELECT object, cluster FROM assign
+         |UNION ALL SELECT object, cluster FROM single
+         |ORDER BY cluster, object""".stripMargin,
+
+    "q_cluster_reps" ->
+      s"""WITH $SHAPED
+         |SELECT object,
+         |       min(object) OVER (PARTITION BY cluster) AS cluster_rep,
+         |       cluster
+         |FROM shaped ORDER BY cluster, object""".stripMargin,
+
+    "q_triangles" ->
+      s"""WITH $EDGES_T2
+         |SELECT count(*) AS n_triangles
+         |FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""".stripMargin,
+
+    "q_tri_per_vertex" ->
+      s"""WITH $EDGES_T2,
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |hits AS (SELECT v, count(*) AS n FROM (
+         |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |  GROUP BY v),
+         |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e))
+         |SELECT verts.v AS vertex, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_triangles
+         |FROM verts LEFT JOIN hits USING (v) ORDER BY vertex""".stripMargin,
+  ) ++ docOracleSql
+
+  // ---- documents / embeddings / events oracles -----------------------------
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val PUNCT_RATIO =
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) END"
+
+  private def STOP_RATIO = {
+    val all = sqlList(graft.text.TextOps.Stopwords.values.flatten.toSeq.distinct.sorted)
+    s"CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($all, x))) AS DOUBLE) / len(string_split(text, ' ')) END"
+  }
+
+  private val SHINGLES =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300),
+      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |  ELSE list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS shs FROM toks)""".stripMargin
+
+  private val COSINE_SCORED =
+    """q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+      |scored AS (SELECT q.qid, e.vec_id AS id,
+      |  list_sum(list_transform(list_zip(e.embedding, q.qvec), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(q.qvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS sim
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid)""".stripMargin
+
+  private def docOracleSql: Map[String, String] = Map(
+    "q_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  round($PUNCT_RATIO, 6) AS punct_ratio,
+         |  round($STOP_RATIO, 6) AS stopword_ratio,
+         |  round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |      + (1.0 - least(($PUNCT_RATIO) * 4.0, 1.0)) * 0.3
+         |      + least(($STOP_RATIO) * 3.0, 1.0) * 0.3, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_langid" -> {
+      val scores = graft.text.TextOps.Stopwords.keys.toSeq.sorted.map { l =>
+        val words = sqlList(graft.text.TextOps.Stopwords(l))
+        s"SELECT doc_id, '$l' AS lang, len(list_filter(string_split(lower(text), ' '), x -> list_contains($words, x))) AS s FROM documents"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH scores AS ($scores),
+         |best AS (SELECT doc_id, lang, s,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn FROM scores)
+         |SELECT doc_id, CASE WHEN s = 0 THEN 'und' ELSE lang END AS lang_pred
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    "q_exact_dedup" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |g AS (SELECT norm, min(doc_id) AS canonical_id, count(*) AS group_size FROM norm GROUP BY norm)
+        |SELECT doc_id, canonical_id, group_size FROM norm JOIN g USING (norm) ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_pairs" ->
+      s"""WITH $SHINGLES
+         |SELECT * FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    round(CASE WHEN len(list_distinct(list_concat(x.shs, y.shs))) = 0 THEN 0.0
+         |      ELSE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / len(list_distinct(list_concat(x.shs, y.shs))) END, 6) AS jaccard
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         |WHERE jaccard >= 0.05 ORDER BY a, b""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH $COSINE_SCORED,
+         |ranked AS (SELECT qid, id,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS BIGINT) AS rank,
+         |  round(sim, 6) AS sim FROM scored)
+         |SELECT qid, id, rank, sim FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_sessions" ->
+      """WITH s AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |       THEN 1 ELSE 0 END AS isnew
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (SELECT user_id, ts, value,
+        |  CAST(sum(isnew) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s)
+        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 6) AS value_sum
+        |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |round(sum(value), 6) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_top_users" ->
+      """SELECT * FROM (
+        |  SELECT user_id, n_events, value_sum,
+        |    CAST(row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rank
+        |  FROM (SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS value_sum
+        |        FROM events GROUP BY user_id))
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
 }

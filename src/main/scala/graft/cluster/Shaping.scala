@@ -1,0 +1,74 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** clusty's output-shaping semantics as window/join transforms
+  * (SURVEY.md §2.4-2.5):
+  *
+  *  - A3 renumber clusters decreasingly by size, stable ties
+  *    (reference: src/graph.cpp:22-48)
+  *  - O1 final ordering (cluster asc, member order asc)
+  *    (reference: src/graph_named.h:307-309,355-357)
+  *  - O2 singleton objects (in universe, absent from graph) get fresh ids
+  *    appended after in-graph clusters (reference: src/graph_named.h:330-352)
+  *  - O3 representative fill: cluster id column replaced by the first member
+  *    in final order (reference: src/graph.h:126-149)
+  *
+  * All are single-window or single-join transforms; the global orderings are
+  * range-partitioned sorts, fine at scale because the assignment table is
+  * O(vertices), not O(edges).
+  */
+object Shaping {
+
+  /** A3 — renumber clusters 0..k-1 by decreasing size; ties keep ascending
+    * old-cluster-id order (the stable_sort semantics: old ids are assignment
+    * order in the reference, min-member id here — both stable/deterministic).
+    *
+    * @param assign (object, cluster) — any types.
+    * @return (object, cluster) with dense new ids, plus `cluster_size`.
+    */
+  def renumberBySize(assign: DataFrame): DataFrame = {
+    val sizes = assign.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    val w = Window.orderBy(col("cluster_size").desc, col("cluster").asc)
+    // cast to long so the schema matches SQL oracles (row_number is int in
+    // Spark, bigint in most engines)
+    val renum = sizes.withColumn("new_cluster", (row_number().over(w) - lit(1)).cast("long"))
+    assign.join(renum, "cluster")
+      .select(col("object"), col("new_cluster").as("cluster"), col("cluster_size"))
+  }
+
+  /** O2 — append universe objects that have no assignment as singleton
+    * clusters, numbered `nClusters, nClusters+1, ...` in universe rank order.
+    *
+    * @param assign   (object, cluster:long) — already renumbered 0..k-1.
+    * @param universe (object, rank:long) — full object universe + priority.
+    */
+  def appendSingletons(assign: DataFrame, universe: DataFrame): DataFrame = {
+    val nClusters = assign.agg(coalesce(max(col("cluster")) + lit(1L), lit(0L)))
+      .head().getLong(0)
+    val singletons = universe.join(assign, Seq("object"), "left_anti")
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(col("rank").asc)) - lit(1) + lit(nClusters))
+      .select(col("object"), col("cluster").cast("long"))
+    assign.select(col("object"), col("cluster").cast("long")).unionByName(singletons)
+  }
+
+  /** O1 — final output order: cluster asc, then member order (name asc when
+    * no universe ranks; universe rank asc otherwise). Adds `member_order`
+    * for deterministic downstream byte-compare. */
+  def ordered(assign: DataFrame, rankCol: Option[String] = None): DataFrame = {
+    val tie = rankCol.map(col).getOrElse(col("object"))
+    assign.orderBy(col("cluster").asc, tie.asc)
+  }
+
+  /** O3 — replace the cluster id with the cluster's representative: the first
+    * member in final order. */
+  def fillRepresentatives(assign: DataFrame, rankCol: Option[String] = None): DataFrame = {
+    val tie = rankCol.map(col).getOrElse(col("object"))
+    val w = Window.partitionBy(col("cluster")).orderBy(tie.asc)
+    assign.withColumn("representative", first(col("object")).over(w))
+      .select(col("object"), col("representative").as("cluster_rep"), col("cluster"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication suite for a web-text training pipeline: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard — all expressed as built-in (codegen'd)
+  * expressions + hash-partitioned aggregations, the shapes that survive a
+  * 100 TB corpus:
+  *
+  *  - exact: one shuffle on a 64-bit fingerprint (never on the raw text —
+  *    grouping keys stay 8 bytes on the wire).
+  *  - MinHash/LSH: per-row signature (narrow) → explode bands (×b) →
+  *    one shuffle on (band, bandHash) → per-bucket pairs. Buckets are
+  *    capped (`maxBucket`) so a degenerate bucket cannot quadratically
+  *    explode a task — the standard guardrail at scale.
+  *  - SimHash: per-row 64-bit sketch (narrow); near-dup = equal sketch
+  *    (or banded sketch chunks for hamming<k candidates).
+  */
+object Dedup {
+
+  // ---- exact ---------------------------------------------------------------
+
+  /** Exact dedup on normalized text: canonical = min id per fingerprint
+    * group. Returns (id, fingerprint, canonical_id, group_size). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+    val groups = fp.groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    fp.join(groups, "fingerprint")
+      .select(col(idCol), col("fingerprint"), col("canonical_id"), col("group_size"))
+  }
+
+  // ---- shingles / jaccard --------------------------------------------------
+
+  /** Word n-gram shingles of a text column (array of strings). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** Exact Jaccard similarity of two string-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  /** MinHash signature: k permutations simulated by seeded xxhash64 over the
+    * shingle set; element j = min over shingles of xxhash64(shingle, j). */
+  def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingles(text, shingleN), s => xxhash64(s, j))))
+
+  /** LSH banding: rows×bands decomposition of the signature; one row per
+    * (doc, band) with the band's bucket hash. */
+  def lshBuckets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = docs.select(col(idCol), minhashSignature(col(textCol), k, shingleN).as("sig"))
+    sig.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(r) + lit(1), lit(r))), b))))
+      .toDF(idCol, "band", "bucket")
+  }
+
+  /** Candidate near-dup pairs from LSH buckets, verified with exact shingle
+    * Jaccard; `maxBucket` caps pathological buckets (skew guardrail).
+    * Returns (a, b, jaccard) with a < b, jaccard >= threshold. */
+  def minhashPairs(docs: DataFrame, threshold: Double, idCol: String = "doc_id",
+                   textCol: String = "text", k: Int = 32, bands: Int = 8,
+                   shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val buckets = lshBuckets(docs, idCol, textCol, k, bands, shingleN)
+    val capped = buckets.withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("bn") <= maxBucket)
+    val l = capped.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val rt = capped.select(col("band"), col("bucket"), col(idCol).as("b"))
+    val cand = l.join(rt, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    cand
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"), round(jaccard(array_distinct(col("sha")), array_distinct(col("shb"))), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force n-gram Jaccard pairs (the small-scale oracle for
+    * minhashPairs; O(n²) — only for bounded inputs). */
+  def jaccardPairsBrute(docs: DataFrame, threshold: Double, idCol: String = "doc_id",
+                        textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    val l = sh.toDF("a", "sha")
+    val r = sh.toDF("b", "shb")
+    l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"), round(jaccard(col("sha"), col("shb")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: bit i of the sketch = sign of the
+    * sum over tokens of (bit i of xxhash64(token) ? +1 : -1). Pure
+    * higher-order-function fold — codegen, no shuffle, no UDF. */
+  def simhash(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    // counts[i] = number of tokens with bit i set, n = total tokens
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
+        i => call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)).cast("int")), _ + _))
+    val n = size(toks)
+    // bit i set iff counts[i]*2 > n  (majority of tokens have the bit)
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c * 2 > n, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Documents sharing an identical SimHash sketch (cheap near-dup classes).
+    * Returns (id, simhash, canonical_id, group_size). */
+  def simhashGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    val g = s.groupBy("simhash").agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    s.join(g, "simhash").select(col(idCol), col("simhash"), col("canonical_id"), col("group_size"))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

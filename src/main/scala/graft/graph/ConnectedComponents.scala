@@ -1,0 +1,98 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components via alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+  *
+  * This is the Spark-native counterpart of clusty's single-linkage BFS
+  * (reference: src/single_bfs.h:23-81) — same partition of the vertex set,
+  * computed in O(log n) rounds of pure join/aggregate instead of a
+  * sequential frontier walk, so it scales to 10^12-edge graphs where BFS
+  * cannot.
+  *
+  * Each round is two shuffles (groupBy src for the per-vertex min, join back);
+  * `localCheckpoint` truncates lineage per round so Catalyst analysis stays
+  * O(1) across iterations. Convergence is detected with a content checksum
+  * (count + xor of pair hashes) rather than a set-compare, one cheap
+  * aggregate per round.
+  *
+  * The final component label is the minimum vertex id of the component —
+  * order-independent and deterministic under any parallelism, which is how
+  * we reproduce the reference's thread-count-invariant outputs without its
+  * ordered-mapper machinery (SURVEY.md §3.2).
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with long columns (src, dst); orientation/dups ok.
+    * @return DataFrame (vertex: Long, component: Long), component = min id.
+    */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // All vertices present in the input (needed to emit singletons of the
+    // edge set, i.e. components that contract away entirely).
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var prev = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val ls = largeStar(e)
+      val ss = smallStar(ls)
+      val next = ss.localCheckpoint(true)
+      val cs = checksum(next)
+      converged = cs == prev
+      prev = cs
+      e = next
+      it += 1
+    }
+
+    // After convergence e is a forest of depth-1 stars (child > root).
+    val assign = e.select(col("dst").as("vertex"), col("src").as("component"))
+    vertices.join(assign, Seq("vertex"), "left")
+      .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
+  }
+
+  /** large-star: for every vertex u, connect every strictly-larger neighbor
+    * to m(u) = min(N(u) ∪ {u}). Keeps canonical (small, large) orientation. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val m = bi.groupBy("src").agg(least(min(col("dst")), first(col("src"))).as("m"))
+    bi.join(m, "src")
+      .where(col("dst") > col("src"))
+      .select(col("m").as("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** small-star: orient edges (large→small); connect all smaller-or-equal
+    * neighbors and u itself to the minimum neighbor. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("src"), col("dst")).as("u"), least(col("src"), col("dst")).as("v"))
+    val m = or.groupBy("u").agg(min(col("v")).as("m"))
+    val relink = or.join(m, "u")
+      .select(col("m").as("src"), col("v").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val selfEdge = m.select(col("m").as("src"), col("u").as("dst"))
+    relink.union(selfEdge).distinct()
+  }
+
+  /** Order-insensitive content checksum of the edge set. */
+  private def checksum(e: DataFrame): (Long, Long) = {
+    // bit_xor, not sum: ANSI mode (Spark 4 default) would throw on long
+    // overflow of a sum of 64-bit hashes.
+    val row = e.select(xxhash64(col("src"), col("dst")).as("h"))
+      .agg(count(lit(1)).as("n"), coalesce(expr("bit_xor(h)"), lit(0L)).as("x"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: token counting, quality scoring, n-gram language ID, document
+  * fingerprinting. All are built from codegen'd built-in / higher-order
+  * functions — no UDFs — so they stay inside whole-stage codegen and scale
+  * as narrow per-row transforms (no shuffle).
+  */
+object TextOps {
+
+  /** Whitespace tokens (single-space split: the documents corpus is
+    * space-joined; keeps DuckDB-oracle parity). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alternating letter-runs / digit-runs /
+    * single punctuation, the classic pre-tokenizer regex. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, """(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"""), t => t =!= lit("")))
+
+  /** Ratio of punctuation (non-alphanumeric, non-space) chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") / length(text))
+
+  /** Small public stopword lists per language (n-gram-heuristic lang ID). */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "was", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "les", "des", "une", "est", "et", "dans", "que", "pour", "au"),
+    "it" -> Seq("il", "di", "che", "un", "per", "non", "sono", "da", "con", "come"),
+    "pl" -> Seq("nie", "tak", "jest", "sie", "i", "w", "na", "to", "z", "do"))
+
+  def stopwordHits(text: Column, lang: String): Column = {
+    val words = array(Stopwords(lang).map(lit): _*)
+    size(filter(tokens(lower(text)), t => array_contains(words, t)))
+  }
+
+  /** Total stopword hits across all languages (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val all = array(Stopwords.values.flatten.toSeq.distinct.sorted.map(lit): _*)
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      size(filter(tokens(lower(text)), t => array_contains(all, t))).cast("double") / n)
+  }
+
+  /** Language ID: argmax stopword hits, ties broken by lang name asc,
+    * no hits at all → "und" (undetermined). Implemented as a single
+    * least()-over-structs expression — fully codegen, no shuffle. */
+  def langId(text: Column): Column = {
+    val langs = Stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct((-stopwordHits(text, l)).as("neg"), lit(l).as("lang")))
+    val best = least(scored: _*)
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: length saturation, low punctuation,
+    * stopword presence — the usual cheap pre-filter for web text. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(50.0), lit(1.0))
+    val punct = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val stop = least(stopwordRatio(text) * lit(3.0), lit(1.0))
+    round(lenScore * lit(0.4) + punct * lit(0.3) + stop * lit(0.3), 6)
+  }
+
+  /** 64-bit content fingerprint of normalized text (whitespace-collapsed,
+    * lowercased) — exact-dup key. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling fingerprint over tokens — order-sensitive, unlike a bag hash;
+    * a fold of xxhash64(acc, token) via the `aggregate` higher-order
+    * function (hash-chaining, not `acc*31+h`: long multiply would trip
+    * ANSI overflow checks, on by default in Spark 4). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L), (acc, t) => xxhash64(acc, t))
+
+  // ---- DataFrame-level conveniences ---------------------------------------
+
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+  }
+}

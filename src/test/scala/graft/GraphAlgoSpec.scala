@@ -1,0 +1,129 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+
+import graft.graph.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+
+/** Graph operators vs independent plain-Scala oracles (SURVEY.md §5: CC/LPA
+  * exact, PageRank allclose 1e-6, triangles exact vs brute force). */
+class GraphAlgoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Deterministic seeded graph with several components and skewed degrees.
+  val rnd = new Random(42)
+  val n = 90
+  val rawEdges: Seq[(Long, Long)] = {
+    val base = (0 until 150).map { _ =>
+      // three id "islands" to force multiple components
+      val island = rnd.nextInt(3)
+      val lo = island * 30
+      (lo + rnd.nextInt(30)).toLong -> (lo + rnd.nextInt(30)).toLong
+    }
+    // a hub in island 0
+    val hub = (0 until 25).map(i => 0L -> (rnd.nextInt(30)).toLong)
+    (base ++ hub).filter { case (a, b) => a != b }
+  }
+  lazy val edgeDf = rawEdges.toDF("src", "dst")
+
+  val adj: Map[Long, Set[Long]] = {
+    val m = mutable.Map.empty[Long, mutable.Set[Long]]
+    rawEdges.foreach { case (a, b) =>
+      m.getOrElseUpdate(a, mutable.Set.empty) += b
+      m.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    m.map { case (k, v) => k -> v.toSet }.toMap
+  }
+  val vertices: Seq[Long] = adj.keys.toSeq.sorted
+
+  test("connected components match BFS oracle exactly") {
+    // oracle: BFS from each unvisited vertex; label = min vertex id
+    val comp = mutable.Map.empty[Long, Long]
+    vertices.foreach { v =>
+      if (!comp.contains(v)) {
+        val queue = mutable.Queue(v)
+        val seen = mutable.Set(v)
+        while (queue.nonEmpty) {
+          val u = queue.dequeue()
+          adj(u).foreach(w => if (seen.add(w)) queue.enqueue(w))
+        }
+        val label = seen.min
+        seen.foreach(w => comp(w) = label)
+      }
+    }
+    val got = ConnectedComponents.run(spark, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == comp.toMap)
+    assert(got.values.toSet.size > 1, "test graph should have several components")
+  }
+
+  test("pagerank matches power-iteration oracle to 1e-6") {
+    // directed, same semantics: uniform dangling redistribution
+    val outDeg = rawEdges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val inEdges = rawEdges.groupBy(_._2)
+    val d = 0.85
+    val nn = vertices.size
+    var r = vertices.map(_ -> 1.0 / nn).toMap
+    var delta = 1.0
+    while (delta > 1e-12) {
+      val dangling = vertices.filterNot(outDeg.contains).map(r).sum
+      val nr = vertices.map { v =>
+        val in = inEdges.getOrElse(v, Seq.empty).map { case (u, _) => r(u) / outDeg(u) }.sum
+        v -> ((1.0 - d) / nn + d * (in + dangling / nn))
+      }.toMap
+      delta = vertices.map(v => math.abs(nr(v) - r(v))).max
+      r = nr
+    }
+    // converge the Spark side tighter than the compare tolerance (1e-8
+    // residual → ~1e-7 true error, within the 1e-6 gate)
+    val res = PageRank.run(spark, edgeDf, damping = d, tol = 1e-8, maxIter = 150)
+    assert(res.converged)
+    val got = res.ranks.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(got.keySet == r.keySet)
+    val maxErr = r.keys.map(v => math.abs(got(v) - r(v))).max
+    assert(maxErr < 1e-6, s"max |spark - oracle| = $maxErr")
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, "total mass conserved")
+  }
+
+  test("label propagation matches synchronous oracle exactly") {
+    val iters = 10
+    var lab = vertices.map(v => v -> v).toMap
+    var it = 0
+    var stable = false
+    while (!stable && it < iters) {
+      val nl = vertices.map { v =>
+        val neigh = adj(v).toSeq.map(lab)
+        if (neigh.isEmpty) v -> lab(v)
+        else {
+          val counts = neigh.groupBy(identity).map { case (l, xs) => (l, xs.size) }
+          val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          v -> best
+        }
+      }.toMap
+      stable = nl == lab
+      lab = nl
+      it += 1
+    }
+    val got = LabelPropagation.run(spark, edgeDf, iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lab)
+  }
+
+  test("triangle count matches brute force") {
+    val canon = rawEdges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    var cnt = 0L
+    val vs = vertices.toArray
+    for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if canon((vs(i), vs(j)))
+      k <- (j + 1) until vs.length
+      if canon((vs(j), vs(k))) && canon((vs(i), vs(k)))
+    } cnt += 1
+    val got = TriangleCount.globalCount(spark, edgeDf).head().getLong(0)
+    assert(got == cnt)
+
+    // per-vertex sums to 3x global
+    val pv = TriangleCount.perVertex(spark, edgeDf).collect().map(_.getLong(1)).sum
+    assert(pv == 3 * cnt)
+  }
+}

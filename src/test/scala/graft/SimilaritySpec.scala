@@ -1,0 +1,63 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // clustered vectors: 5 centers, 40 points each, mild noise → real neighbors
+  val rnd = new Random(7)
+  val dim = 16
+  val centers = Array.fill(5, dim)(rnd.nextGaussian())
+  val vecs: Seq[(Long, Seq[Float])] = (0 until 200).map { i =>
+    val c = centers(i % 5)
+    i.toLong -> c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq
+  }
+  lazy val corpus = vecs.toDF("id", "vec")
+
+  def cosScala(a: Seq[Float], b: Seq[Float]): Double = {
+    val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+    val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+  }
+
+  test("brute-force top-k matches plain-Scala oracle") {
+    val queries = vecs.take(3).toDF("qid", "qvec")
+    val got = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    vecs.take(3).foreach { case (qid, qv) =>
+      val expect = vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cosScala(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      expect.zipWithIndex.foreach { case (id, i) =>
+        assert(got((qid, i + 1)) == id, s"query $qid rank ${i + 1}")
+      }
+    }
+  }
+
+  test("LSH top-k achieves high recall vs brute force on clustered data") {
+    val queries = vecs.take(10).toDF("qid", "qvec")
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 10)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val lsh = Similarity.lshTopK(corpus, queries, k = 10, nBits = 16, bands = 8)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recalls = brute.keys.toSeq.map { q =>
+      val l = lsh.getOrElse(q, Set.empty)
+      l.intersect(brute(q)).size.toDouble / brute(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 = $mean (LSH with 8 bands of 2 bits should catch most cluster neighbors)")
+  }
+
+  test("embedding near-dup pairs finds planted duplicates") {
+    val planted = corpus.unionByName(
+      Seq((1000L, vecs.head._2.map(v => v * 1.0001f))).toDF("id", "vec"))
+    val pairs = Similarity.nearDupPairs(planted, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1000L)), s"got $pairs")
+  }
+}
