@@ -2,15 +2,20 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.graph.PageRank
+
 /** Per-round benchmark main (driver contract): runs the headline queries on
   * SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS], prints exactly one JSON
   * line {"metric","value","unit","queries","sf"}.
   *
   * The headline set covers each engine area: edge build + graph algorithms
-  * (the north-rule flagship), dedup, text, similarity, events. PageRank also
-  * reports edges×supersteps/sec (the BASELINE.json metric) under
-  * "pagerank_edges_per_sec" — cross-parallelism scaling evidence lives in
-  * ScalingBench/BASELINE.md.
+  * (the north-rule flagship), dedup, text, similarity, events.
+  *
+  * The BASELINE.json metric (edges processed/sec for PageRank-to-convergence)
+  * is measured on the *full* co-occurrence graph (unthresholded — the
+  * realistic dense case) with the actual superstep count from the run:
+  * `directed_edges × supersteps / wall`. Cross-parallelism scaling evidence
+  * lives in ScalingBench/BASELINE.md.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,25 +41,34 @@ object Bench {
     // warm the JVM/codegen once on the smallest table scan
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    var prEdgesPerSec = 0.0
-    val results = headline.map { name =>
+    var results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
-      if (name == "q_pagerank" && ok) {
-        // rough edges/sec: supersteps * |edges| / wall
-        val nEdges = Queries.edges(spark, sfDir).count()
-        prEdgesPerSec = nEdges.toDouble * 30 / sec
-      }
       name -> (if (ok) sec else -1.0)
     }
+
+    // North-rule metric: PageRank-to-convergence on the full graph. The
+    // edge table is materialized (persisted) up front so the metric times
+    // the iterative job itself, not the co-occurrence extraction.
+    val bi = Queries.edgesAll(spark, sfDir).select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDirected = bi.count() * 2 // runUndirected symmetrizes
+    val t0 = System.nanoTime()
+    val pr = PageRank.runUndirected(spark, bi, tol = 1e-6, maxIter = 25)
+    pr.ranks.write.mode("overwrite").format("noop").save()
+    val prSec = (System.nanoTime() - t0) / 1e9
+    val prEdgesPerSec = nDirected.toDouble * pr.iterations / prSec
+    results = results :+ ("q_pagerank_full" -> prSec)
+    bi.unpersist(blocking = false)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pagerank_edges_per_sec":${f"$prEdgesPerSec%.0f"}}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pagerank_edges_per_sec":${f"$prEdgesPerSec%.0f"},"pagerank_directed_edges":$nDirected,"pagerank_supersteps":${pr.iterations}}""")
     spark.stop()
   }
 }

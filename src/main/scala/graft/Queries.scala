@@ -103,6 +103,14 @@ object Queries {
     r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
   }
 
+  /** PageRank on the full (unthresholded) co-occurrence graph — the
+    * north-rule headline job at its densest. */
+  def qPageRankFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = PageRank.runUndirected(spark, edgesAll(spark, sfDir).select(col("src"), col("dst")),
+      tol = 1e-6, maxIter = 25)
+    r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
+  }
+
   def qLabelPropagation(spark: SparkSession, sfDir: String): DataFrame =
     LabelPropagation.run(spark, edges(spark, sfDir), iterations = 10).orderBy("vertex")
 

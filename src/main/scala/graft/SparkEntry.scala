@@ -30,6 +30,7 @@ object SparkEntry {
     "q_triangles"        -> (Queries.qTriangles _),
     "q_tri_per_vertex"   -> (Queries.qTrianglesPerVertex _),
     "q_pagerank"         -> (Queries.qPageRank _),
+    "q_pagerank_full"    -> (Queries.qPageRankFull _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
     // greedy clusterings (clusty C2-C5; sequential-per-component, no SQL twin)
     "q_setcover"         -> (Queries.qSetCover _),

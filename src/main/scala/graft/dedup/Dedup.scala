@@ -54,10 +54,20 @@ object Dedup {
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signature: k permutations simulated by seeded xxhash64 over the
-    * shingle set; element j = min over shingles of xxhash64(shingle, j). */
+    * shingle set; element j = min over shingles of xxhash64(shingle, j).
+    *
+    * Single pass over the shingle array: fold with a k-wide running-min
+    * accumulator (each shingle is constructed and visited once, hashed k
+    * times) instead of k independent array scans — the naive
+    * transform-of-array_min shape rebuilds the shingle strings k times per
+    * row, which dominated the profile. */
   def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingles(text, shingleN), s => xxhash64(s, j))))
+    aggregate(
+      shingles(text, shingleN),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), j => xxhash64(s, j)),
+        (m, h) => least(m, h)))
 
   /** LSH banding: rows×bands decomposition of the signature; one row per
     * (doc, band) with the band's bucket hash. */
@@ -112,12 +122,14 @@ object Dedup {
     * higher-order-function fold — codegen, no shuffle, no UDF. */
   def simhash(text: Column): Column = {
     val toks = TextOps.tokens(text)
-    // counts[i] = number of tokens with bit i set, n = total tokens
+    // counts[i] = number of tokens with bit i set, n = total tokens.
+    // Fold over pre-hashed tokens so xxhash64 runs once per token, not once
+    // per (token, bit) — the lambda variable h is a cheap bound reference.
     val counts = aggregate(
-      toks,
+      transform(toks, t => xxhash64(t)),
       array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, transform(sequence(lit(0), lit(63)),
-        i => call_function("shiftright", xxhash64(t), i).bitwiseAND(lit(1L)).cast("int")), _ + _))
+      (acc, h) => zip_with(acc, transform(sequence(lit(0), lit(63)),
+        i => call_function("shiftright", h, i).bitwiseAND(lit(1L)).cast("int")), _ + _))
     val n = size(toks)
     // bit i set iff counts[i]*2 > n  (majority of tokens have the bit)
     aggregate(

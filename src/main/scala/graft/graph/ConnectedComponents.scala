@@ -48,7 +48,9 @@ object ConnectedComponents {
     while (!converged && it < maxIter) {
       val ls = largeStar(e)
       val ss = smallStar(ls)
-      val next = ss.localCheckpoint(true)
+      // Lazy checkpoint: the checksum aggregate below is a full scan, so it
+      // materializes every partition — one Spark job per round, not two.
+      val next = ss.localCheckpoint(false)
       val cs = checksum(next)
       converged = cs == prev
       prev = cs

@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation — the Spark-native counterpart of clusty's
@@ -41,22 +40,28 @@ object LabelPropagation {
     var it = 0
     var stable = false
     while (!stable && it < iterations) {
+      // (count desc, label asc) argmax via max_by over (n, -label) — a hash
+      // aggregate instead of a window sort. The previous label rides along
+      // as a carrier row with n=0 (every vertex has >= 1 neighbor by
+      // construction of `vertices`, so a real count row always outranks
+      // the carrier), which removes the per-superstep join-back entirely.
       val msgs = bi.join(labels, bi("src") === labels("vertex"))
         .select(col("dst"), col("label"))
       val counts = msgs.groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("dst")).orderBy(col("n").desc, col("label").asc)
-      val best = counts.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("dst").as("vertex"), col("label").as("new_label"))
+      val carrier = labels.select(col("vertex").as("dst"), col("label"), lit(0L).as("n"))
 
-      val newLabels = labels.join(best, Seq("vertex"), "left")
-        .select(col("vertex"), coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint(true)
+      val newLabels = counts.unionByName(carrier)
+        .groupBy(col("dst")).agg(
+          max_by(col("label"), struct(col("n"), -col("label"))).as("label"),
+          max(when(col("n") === 0L, col("label"))).as("old_label"))
+        .select(col("dst").as("vertex"), col("label"), col("old_label"))
+        .localCheckpoint(false) // materialized by the stability aggregate
 
-      val changed = newLabels.as("a").join(labels.as("b"), "vertex")
-        .where(col("a.label") =!= col("b.label")).limit(1).count()
+      val changed = newLabels
+        .agg(count(when(col("label") =!= col("old_label"), lit(1))).as("c"))
+        .head().getLong(0)
       stable = changed == 0L
-      labels = newLabels
+      labels = newLabels.select(col("vertex"), col("label"))
       it += 1
     }
     labels

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -15,15 +15,20 @@ import org.apache.spark.storage.StorageLevel
   *    big edge table stays put.
   *  - contributions are partial-aggregated map-side (`groupBy(dst).sum`),
   *    so hub fan-in skew is combined before the exchange.
-  *  - dangling mass is one scalar aggregate per superstep, redistributed
-  *    uniformly — standard normalized PageRank; total mass stays 1.
-  *  - every superstep `localCheckpoint`s the new rank table: lineage is
-  *    O(1), and the checkpointed table is the resumable frontier state (on
-  *    a cluster this becomes a write to an Iceberg/parquet `ranks_step_k`
-  *    table; `RankState` captures the same contract).
-  *  - convergence = driver-side `max(abs(delta))` aggregate, compared to
-  *    `tol`; both our runs and the in-test oracle converge to the same
-  *    epsilon so float-sum reorder noise stays below the compare tolerance.
+  *  - the per-vertex state `(vertex, dangling, rank)` is hash-partitioned on
+  *    `vertex` by construction, so both per-superstep joins (ranks→links,
+  *    contribs→state) reuse partitionings instead of re-shuffling the state.
+  *  - **one Spark job per superstep**: the new state is `localCheckpoint`ed
+  *    lazily and materialized by a single combined aggregate that returns
+  *    both the convergence delta (`max |rank − old_rank|`) and the *next*
+  *    superstep's dangling mass (`sum(rank where dangling)`). Dangling-ness
+  *    is a precomputed boolean on the state, not a per-step anti-join.
+  *  - checkpointing truncates lineage to O(1) per superstep and is the
+  *    resumable frontier state (on a cluster this becomes a write to an
+  *    Iceberg/parquet `ranks_step_k` table; same contract).
+  *  - convergence = `max(abs(delta)) < tol`; both our runs and the in-test
+  *    oracle converge to the same epsilon so float-sum reorder noise stays
+  *    below the compare tolerance.
   */
 object PageRank {
 
@@ -37,51 +42,74 @@ object PageRank {
           tol: Double = 1e-8, maxIter: Int = 100): Result = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
 
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
       .distinct()
-      .repartition(col("vertex"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = vertices.count()
 
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // Pre-divide: contribution factor per edge = 1/outdeg(src).
+    // Pre-divide: contribution factor per edge = 1/outdeg(src). Partitioned
+    // on src once; the big side never moves again.
     val links = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("share"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     links.count() // materialize once
 
-    var ranks = vertices.select(col("vertex"), lit(1.0 / n).as("rank"))
+    // State (vertex, dangling, rank) — dangling computed once, not per step.
+    val st0 = vertices.join(outDeg, vertices("vertex") === outDeg("src"), "left")
+      .select(col("vertex"), col("outdeg").isNull.as("dangling"))
+    val r0: Row = st0
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("dangling"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("nd"))
+      .head()
+    val n = r0.getLong(0)
+    var danglingMass = r0.getLong(1).toDouble / n
+
+    var state = st0.select(col("vertex"), col("dangling"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
 
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      // Mass sitting on dangling vertices (no out-edges) this superstep.
-      val danglingMass = ranks.join(outDeg, ranks("vertex") === outDeg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-
-      val contribs = links
-        .join(ranks, links("src") === ranks("vertex"))
-        .select(col("dst"), (col("rank") * col("share")).as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("in_mass"))
+      // Pregel union-carrier: the state row rides along as a
+      // zero-contribution message carrying (dangling, old_rank), so the new
+      // state is ONE aggregation — no contribs→state join, no sort, and
+      // every vertex is guaranteed present. Two exchanges per superstep:
+      // ranks to the links partitioning, messages to the dst partitioning
+      // (both partial-aggregated map-side, so hub fan-in skew is combined
+      // before the wire).
+      val msgs = links
+        .join(state.select(col("vertex"), col("rank")), links("src") === col("vertex"))
+        .select(col("dst"), (col("rank") * col("share")).as("contrib"),
+          lit(null).cast("boolean").as("dangling"), lit(null).cast("double").as("old_rank"))
+      val carrier = state.select(col("vertex").as("dst"), lit(0.0).as("contrib"),
+        col("dangling"), col("rank").as("old_rank"))
 
       val base = (1.0 - damping) / n + damping * danglingMass / n
-      val newRanks = vertices
-        .join(contribs, vertices("vertex") === contribs("dst"), "left")
-        .select(col("vertex"),
-          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      val next = msgs.unionByName(carrier)
+        .groupBy(col("dst")).agg(
+          sum(col("contrib")).as("in_mass"),
+          first(col("dangling"), ignoreNulls = true).as("dangling"),
+          first(col("old_rank"), ignoreNulls = true).as("old_rank"))
+        .select(col("dst").as("vertex"), col("dangling"),
+          (lit(base) + lit(damping) * col("in_mass")).as("rank"),
+          col("old_rank"))
+        .localCheckpoint(false) // materialized by the aggregate below
 
-      val delta = newRanks.as("a").join(ranks.as("b"), "vertex")
-        .agg(max(abs(col("a.rank") - col("b.rank")))).head().getDouble(0)
+      val row = next.agg(
+        max(abs(col("rank") - col("old_rank"))).as("delta"),
+        coalesce(sum(when(col("dangling"), col("rank"))), lit(0.0)).as("dmass"))
+        .head()
+      val delta = row.getDouble(0)
+      danglingMass = row.getDouble(1)
 
-      ranks = newRanks
+      state = next.select(col("vertex"), col("dangling"), col("rank"))
       it += 1
       converged = delta < tol
     }
-    Result(ranks, it, converged)
+    links.unpersist(blocking = false)
+    Result(state.select(col("vertex"), col("rank")), it, converged)
   }
 
   /** Undirected convenience: run on the symmetrized edge set. */

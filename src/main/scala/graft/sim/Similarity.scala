@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   *    exactly. Probe cost drops from O(|corpus|) to O(bucket).
   *  - [[nearDupPairs]] — embedding-cosine near-duplicate detection via the
   *    same LSH buckets.
+  *
+  * Plan-shape rules that matter at scale (and dominated the local profile):
+  *  - vector norms are computed **once per vector** in a pre-projection, so
+  *    per-pair work is a single dot-product pass instead of dot + two norms;
+  *  - candidate pairs are deduplicated on **ids only** (8-byte keys on the
+  *    shuffle wire), vectors are joined back after the distinct — never ship
+  *    or hash-compare float arrays through an exchange.
   */
 object Similarity {
 
@@ -29,6 +36,16 @@ object Similarity {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Cosine from a precomputed-norm pair: one array pass per comparison. */
+  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na * nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+  /** (id, v: array<double>, nrm) projection — norms computed once per row. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       vOut: String, nOut: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as(vOut))
+      .withColumn(nOut, norm(col(vOut)))
+
   /** Exact top-k neighbors for each query vector.
     * @param corpus  (id, vec) — the full embedding table
     * @param queries (qid, qvec) — small enough to broadcast
@@ -36,21 +53,18 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "id", vecCol: String = "vec",
                      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val scored = corpus.join(broadcast(queries), col(idCol) =!= col(qidCol))
+    val c = withNorm(corpus, idCol, vecCol, "_v", "_nv")
+    val q = withNorm(queries, qidCol, qvecCol, "_qv", "_nq")
+    val scored = c.join(broadcast(q), col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol),
-        cosine(col(vecCol).cast("array<double>"), col(qvecCol).cast("array<double>")).as("sim"))
+        cosineWithNorms(col("_v"), col("_qv"), col("_nv"), col("_nq")).as("sim"))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim j):
-    * a ±1 Rademacher plane derived from xxhash64 — seedable, shuffle-free,
+  /** nBits-bit random-hyperplane signature of a vector: a ±1 Rademacher
+    * plane per bit, derived from xxhash64 — seedable, shuffle-free,
     * identical on every executor without broadcasting plane matrices. */
-  private def planeSign(p: Int, j: Column, seed: Long): Column =
-    when(shiftright(xxhash64(lit(seed), lit(p), j), 7).bitwiseAND(lit(1L)) === 1L, lit(1.0d))
-      .otherwise(lit(-1.0d))
-
-  /** nBits-bit random-hyperplane signature of a vector. */
   def rhpSignature(vec: Column, nBits: Int = 16, seed: Long = 42L): Column = {
     val bits = transform(sequence(lit(0), lit(nBits - 1)), p => {
       // projection onto plane p = sum_j sign(p,j) * v[j]
@@ -64,32 +78,40 @@ object Similarity {
     aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** (band, bucket) rows of an nBits signature split into `bands` chunks. */
+  private def bandBuckets(sig: Column, nBits: Int, bands: Int): Column = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val r = nBits / bands
+    val mask = (1L << r) - 1
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        call_function("shiftright", sig, b * lit(r)).bitwiseAND(lit(mask)).as("bucket")))
+  }
+
   /** LSH-bucketed ANN: candidates share at least one signature band; rerank
     * candidates with exact cosine, keep top-k per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 16, bands: Int = 4, seed: Long = 42L,
               idCol: String = "id", vecCol: String = "vec",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    require(nBits % bands == 0)
-    val r = nBits / bands
-    val mask = (1L << r) - 1
-    def bandCols(sig: Column): Column =
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), call_function("shiftright", sig, b * lit(r)).bitwiseAND(lit(mask)).as("bucket")))
+    val cs = corpus.select(col(idCol),
+      explode(bandBuckets(rhpSignature(col(vecCol), nBits, seed), nBits, bands)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val qs = queries.select(col(qidCol),
+      explode(bandBuckets(rhpSignature(col(qvecCol), nBits, seed), nBits, bands)).as("bb"))
+      .select(col(qidCol), col("bb.band"), col("bb.bucket"))
 
-    val cs = corpus.select(col(idCol), col(vecCol),
-      explode(bandCols(rhpSignature(col(vecCol), nBits, seed))).as("bb"))
-      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
-    val qs = queries.select(col(qidCol), col(qvecCol),
-      explode(bandCols(rhpSignature(col(qvecCol), nBits, seed))).as("bb"))
-      .select(col(qidCol), col(qvecCol), col("bb.band"), col("bb.bucket"))
-
+    // dedup on ids before touching vectors again
     val cand = cs.join(broadcast(qs), Seq("band", "bucket"))
       .where(col(idCol) =!= col(qidCol))
-      .select(col(qidCol), col(idCol), col(vecCol), col(qvecCol))
+      .select(col(qidCol), col(idCol))
       .distinct()
-    val scored = cand.select(col(qidCol), col(idCol),
-      cosine(col(vecCol).cast("array<double>"), col(qvecCol).cast("array<double>")).as("sim"))
+
+    val c = withNorm(corpus, idCol, vecCol, "_v", "_nv")
+    val q = withNorm(queries, qidCol, qvecCol, "_qv", "_nq")
+    val scored = cand.join(c, idCol).join(broadcast(q), qidCol)
+      .select(col(qidCol), col(idCol),
+        cosineWithNorms(col("_v"), col("_qv"), col("_nv"), col("_nq")).as("sim"))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -99,21 +121,21 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double, nBits: Int = 16,
                    bands: Int = 4, seed: Long = 42L,
                    idCol: String = "id", vecCol: String = "vec"): DataFrame = {
-    require(nBits % bands == 0)
-    val r = nBits / bands
-    val mask = (1L << r) - 1
-    val sig = corpus.select(col(idCol), col(vecCol),
-      rhpSignature(col(vecCol), nBits, seed).as("sig"))
-    val banded = sig.select(col(idCol), col(vecCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => call_function("shiftright", col("sig"), b * lit(r)).bitwiseAND(lit(mask)))))
-      .toDF(idCol, "vec_", "band", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col(idCol).as("a"), col("vec_").as("va"))
-    val rt = banded.select(col("band"), col("bucket"), col(idCol).as("b"), col("vec_").as("vb"))
-    l.join(rt, Seq("band", "bucket")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb")).distinct()
+    val banded = corpus.select(col(idCol),
+      explode(bandBuckets(rhpSignature(col(vecCol), nBits, seed), nBits, bands)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+
+    val l = banded.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val rt = banded.select(col("band"), col("bucket"), col(idCol).as("b"))
+    val pairs = l.join(rt, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+
+    val base = withNorm(corpus, idCol, vecCol, "_v", "_nv")
+    pairs
+      .join(base.select(col(idCol).as("a"), col("_v").as("_va"), col("_nv").as("_na")), "a")
+      .join(base.select(col(idCol).as("b"), col("_v").as("_vb"), col("_nv").as("_nb")), "b")
       .select(col("a"), col("b"),
-        cosine(col("va").cast("array<double>"), col("vb").cast("array<double>")).as("sim"))
+        cosineWithNorms(col("_va"), col("_vb"), col("_na"), col("_nb")).as("sim"))
       .where(col("sim") >= threshold)
   }
 }
