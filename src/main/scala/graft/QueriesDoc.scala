@@ -94,7 +94,7 @@ object QueriesDoc {
   }
 
   def qEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.nearDupPairs(emb(spark, sfDir), threshold = 0.35, nBits = 16, bands = 8)
+    Similarity.nearDupPairs(emb(spark, sfDir), threshold = 0.35, nBits = 32, bands = 8)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
       .orderBy("a", "b")
 

@@ -75,7 +75,12 @@ object Dedup {
                  k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // Persist the (id, sig) projection: without the barrier, projection
+    // collapse inlines the k-hash signature into the per-band lambda and it
+    // is recomputed `bands` times per row (and once more per self-join side
+    // downstream). (id, sig[k]) is ~8k bytes/row — cheap at any scale.
     val sig = docs.select(col(idCol), minhashSignature(col(textCol), k, shingleN).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(r) + lit(1), lit(r))), b))))
@@ -118,9 +123,17 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over token hashes: bit i of the sketch = sign of the
-    * sum over tokens of (bit i of xxhash64(token) ? +1 : -1). Pure
-    * higher-order-function fold — codegen, no shuffle, no UDF. */
-  def simhash(text: Column): Column = {
+    * sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
+    *
+    * Delegates to the native codegen expression [[graft.functions.SimHash64]]
+    * — higher-order functions are interpreted in Spark, which made the
+    * declarative fold ([[simhashHof]], kept as the spec cross-check oracle)
+    * ~200x slower per row. Both produce identical sketches. */
+  def simhash(text: Column): Column = graft.functions.simhash64(text)
+
+  /** The declarative higher-order-function formulation of [[simhash]] —
+    * bit-identical, used to cross-validate the native kernel. */
+  def simhashHof(text: Column): Column = {
     val toks = TextOps.tokens(text)
     // counts[i] = number of tokens with bit i set, n = total tokens.
     // Fold over pre-hashed tokens so xxhash64 runs once per token, not once

@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.GraftShim
+
+/** Column-API entry points for the engine's native Catalyst expressions. */
+package object functions {
+
+  /** 64-bit SimHash sketch of a space-tokenized string (codegen). */
+  def simhash64(text: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(text)))
+
+  /** Anchor-target extraction from raw html bytes (codegen). */
+  def extract_hrefs(html: Column): Column =
+    GraftShim.column(ExtractHrefs(GraftShim.expression(html)))
+
+  /** Register the native expressions as SQL functions on a live session
+    * (alternative to spark.sql.extensions=graft.plans.GraftExtensions). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftShim.registerFunction(spark, "simhash64", es => SimHash64(es.head))
+    GraftShim.registerFunction(spark, "extract_hrefs", es => ExtractHrefs(es.head))
+  }
+}

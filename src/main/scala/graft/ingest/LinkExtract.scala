@@ -25,8 +25,19 @@ object LinkExtract {
   def hrefs(html: Array[Byte]): Seq[String] =
     Href.findAllMatchIn(new String(html, StandardCharsets.UTF_8)).map(_.group(1)).toSeq
 
-  /** (src_url, dst_url) one row per anchor occurrence. */
-  def linkPairs(pages: Dataset[Page]): DataFrame = {
+  /** (src_url, dst_url) one row per anchor occurrence.
+    *
+    * Uses the native codegen expression [[graft.functions.ExtractHrefs]]:
+    * the scan projects only (url, html), extraction + explode stay inside
+    * whole-stage codegen, and no Page encoder round-trip happens. The typed
+    * flatMap form is kept as [[linkPairsTyped]] for cross-validation. */
+  def linkPairs(pages: Dataset[Page]): DataFrame =
+    pages.toDF()
+      .select(col("url").as("src"),
+        explode(graft.functions.extract_hrefs(col("html"))).as("dst"))
+
+  /** Typed-flatMap extractor (same output as [[linkPairs]]; spec oracle). */
+  def linkPairsTyped(pages: Dataset[Page]): DataFrame = {
     import pages.sparkSession.implicits._
     pages.flatMap(p => hrefs(p.html).map(h => (p.url, h))).toDF("src", "dst")
   }

@@ -3,6 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor / similarity search over an embedding column
   * (`array<float>`).
@@ -88,18 +89,30 @@ object Similarity {
         call_function("shiftright", sig, b * lit(r)).bitwiseAND(lit(mask)).as("bucket")))
   }
 
+  /** (id, band, bucket) exploded banding of the signature table.
+    *
+    * The signature projection is **persisted** before the per-band explode:
+    * otherwise Catalyst's projection collapse inlines the (nBits × dim
+    * xxhash64) signature expression into the band lambda — recomputing it
+    * once per band — and a downstream self-join doubles the whole subtree
+    * again. The persisted table is (id, sig:long): tiny at any scale, and
+    * exactly what a production pipeline would materialize anyway. */
+  private def bandedIds(df: DataFrame, idCol: String, vecCol: String,
+                        nBits: Int, bands: Int, seed: Long): DataFrame = {
+    val sig = df.select(col(idCol), rhpSignature(col(vecCol), nBits, seed).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sig.select(col(idCol), explode(bandBuckets(col("sig"), nBits, bands)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
   /** LSH-bucketed ANN: candidates share at least one signature band; rerank
     * candidates with exact cosine, keep top-k per query. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 16, bands: Int = 4, seed: Long = 42L,
               idCol: String = "id", vecCol: String = "vec",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val cs = corpus.select(col(idCol),
-      explode(bandBuckets(rhpSignature(col(vecCol), nBits, seed), nBits, bands)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val qs = queries.select(col(qidCol),
-      explode(bandBuckets(rhpSignature(col(qvecCol), nBits, seed), nBits, bands)).as("bb"))
-      .select(col(qidCol), col("bb.band"), col("bb.bucket"))
+    val cs = bandedIds(corpus, idCol, vecCol, nBits, bands, seed)
+    val qs = bandedIds(queries, qidCol, qvecCol, nBits, bands, seed)
 
     // dedup on ids before touching vectors again
     val cand = cs.join(broadcast(qs), Seq("band", "bucket"))
@@ -121,9 +134,7 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double, nBits: Int = 16,
                    bands: Int = 4, seed: Long = 42L,
                    idCol: String = "id", vecCol: String = "vec"): DataFrame = {
-    val banded = corpus.select(col(idCol),
-      explode(bandBuckets(rhpSignature(col(vecCol), nBits, seed), nBits, bands)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val banded = bandedIds(corpus, idCol, vecCol, nBits, bands, seed)
 
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a"))
     val rt = banded.select(col("band"), col("bucket"), col(idCol).as("b"))

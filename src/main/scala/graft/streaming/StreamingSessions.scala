@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization: the unbounded counterpart of
+  * [[EventOps.sessions]], built on `flatMapGroupsWithState` with event-time
+  * timeout — the engine's custom-state streaming primitive.
+  *
+  * Semantics match the batch form: a session closes when the gap to the
+  * user's next event exceeds `gapMinutes`; a closed session emits
+  * (user_id, session_seq, session_start, session_end, n_events, value_sum).
+  * Sessions still open when the watermark passes (session end + gap) are
+  * flushed by the state timeout.
+  *
+  * Scale shape: state is O(1) per active user (one open session), partitioned
+  * by user_id; each micro-batch shuffles only its own events once. Checkpoint
+  * the query for exactly-once resume — the state store carries the open
+  * sessions across restarts.
+  */
+object StreamingSessions {
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  case class OpenSession(sessionSeq: Long, startMs: Long, endMs: Long,
+                         nEvents: Long, valueSum: Double)
+  case class SessionRow(user_id: Long, session_seq: Long,
+                        session_start: Timestamp, session_end: Timestamp,
+                        n_events: Long, value_sum: Double)
+
+  /** Apply to a *streaming* Dataset (readStream source) with columns
+    * (user_id: long, ts: timestamp, value: double); requires a watermark on
+    * `ts` at least as large as the session gap. */
+  def sessions(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed (end + gap): flush the open session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionRow(userId, s.sessionSeq,
+              new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEvents, s.valueSum))
+          } else {
+            // micro-batch iterators are unordered: sort by event time
+            val evs = it.toVector.sortBy(_.ts.getTime)
+            var open = state.getOption
+            var seq = open.map(_.sessionSeq).getOrElse(0L)
+            val out = Vector.newBuilder[SessionRow]
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  open = Some(s.copy(endMs = math.max(s.endMs, t),
+                    nEvents = s.nEvents + 1, valueSum = s.valueSum + e.value))
+                case Some(s) => // gap exceeded: close, start next
+                  out += SessionRow(userId, s.sessionSeq,
+                    new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEvents, s.valueSum)
+                  seq = s.sessionSeq + 1
+                  open = Some(OpenSession(seq, t, t, 1L, e.value))
+                case None =>
+                  open = Some(OpenSession(seq, t, t, 1L, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Convenience: run the streaming sessionizer over a bounded parquet
+    * directory with a memory sink and return the materialized sessions
+    * (demonstrates the batch→stream migration path on the events table). */
+  def sessionsFromParquet(spark: SparkSession, parquetPath: String, gapMinutes: Int = 30,
+                          queryName: String = "graft_stream_sessions"): Dataset[SessionRow] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema).parquet(parquetPath)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[SessionEvent]
+    val q = sessions(stream, gapMinutes).writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).as[SessionRow]
+  }
+}

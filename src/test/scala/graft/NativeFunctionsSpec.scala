@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ingest.{LinkExtract, PageSynth}
+
+/** Native codegen expressions vs their declarative/typed oracles:
+  * bit-identical results, plus the SQL registration path. */
+class NativeFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val texts = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "completely different content entirely here now"),
+    (4L, ""), // empty text: one empty token
+    (5L, "a  b"), // double space: empty middle token
+    (6L, "único café naïve 日本語 text")) // multi-byte UTF-8
+  lazy val docs = texts.toDF("doc_id", "text")
+
+  test("SimHash64 expression is bit-identical to the HOF formulation") {
+    val got = docs.select($"doc_id", Dedup.simhash($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = docs.select($"doc_id", Dedup.simhashHof($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(got(1L) == got(2L), "identical texts, identical sketch")
+    assert(got(1L) != got(3L), "distinct texts, distinct sketch")
+  }
+
+  test("SimHash64 on the documents table matches HOF end-to-end") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = d.select(
+        Dedup.simhash(col("text")).as("a"), Dedup.simhashHof(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+  }
+
+  test("ExtractHrefs expression matches the typed flatMap extractor exactly") {
+    val pages = PageSynth.pages(spark, 500L, seed = 7L, numPartitions = 4)
+    val a = LinkExtract.linkPairs(pages).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val b = LinkExtract.linkPairsTyped(pages).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("ExtractHrefs handles regex-equivalent edge cases") {
+    val html = Seq(
+      // tabs/newlines as \s+, empty href skipped ([^"]+), no-ws `<ahref` skipped,
+      // unterminated quote skipped, multiple anchors per doc
+      (1L, """<a href="u1"><a	href="u2"><a
+        |href="u3"><a href=""><ahref="u4"><a href="u5""".stripMargin.getBytes("UTF-8")),
+      (2L, """no anchors here""".getBytes("UTF-8")))
+      .toDF("id", "html")
+    val got = got2(html)
+    val oracle = Seq(1L -> LinkExtract.hrefs(html.collect()(0).getAs[Array[Byte]]("html")).toList,
+      2L -> Nil).toMap
+    assert(got == oracle)
+    // u4 (no whitespace before href) and u5 (unterminated quote) rejected
+    assert(got(1L) == List("u1", "u2", "u3"))
+  }
+
+  private def got2(df: org.apache.spark.sql.DataFrame): Map[Long, List[String]] = {
+    df.select(col("id"), graft.functions.extract_hrefs(col("html")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+  }
+
+  test("SQL registration path: simhash64/extract_hrefs callable from SQL") {
+    graft.functions.registerAll(spark)
+    docs.createOrReplaceTempView("nf_docs")
+    val viaSql = spark.sql("SELECT doc_id, simhash64(text) AS s FROM nf_docs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = docs.select($"doc_id", Dedup.simhash($"text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+    val n = spark.sql(
+      "SELECT count(*) FROM (SELECT explode(extract_hrefs(CAST('<a href=\"x\">' AS BINARY))))")
+      .head().getLong(0)
+    assert(n == 1L)
+  }
+}

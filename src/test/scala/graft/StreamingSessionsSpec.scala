@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{EventOps, StreamingSessions}
+
+/** flatMapGroupsWithState sessionization vs the batch window form: same
+  * sessions, and event-time timeout flushes open sessions once the
+  * watermark passes. Driven through the public file-source API (two parquet
+  * appends = two micro-batches). */
+class StreamingSessionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private val MIN = 60000L
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("streaming sessions: in-batch close + watermark timeout flush") {
+    val dir = Files.createTempDirectory("graft-stream-sess").toString
+    val data1 = Seq(
+      (1L, ts(t0), 1.0), (1L, ts(t0 + 10 * MIN), 2.0), (1L, ts(t0 + 50 * MIN), 4.0),
+      (2L, ts(t0 + 5 * MIN), 8.0))
+    data1.toDF("user_id", "ts", "value").repartition(1)
+      .write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .withWatermark("ts", "30 minutes")
+      .as[StreamingSessions.SessionEvent]
+    val q = StreamingSessions.sessions(stream, gapMinutes = 30).writeStream
+      .outputMode("append").format("memory").queryName("sess_test").start()
+    try {
+      q.processAllAvailable()
+      val closedInBatch = spark.table("sess_test").as[StreamingSessions.SessionRow]
+        .collect().map(r => (r.user_id, r.session_seq, r.session_start.getTime,
+          r.session_end.getTime, r.n_events, r.value_sum)).toSet
+      // u1's first session closes inside batch 1 (gap 40 min > 30);
+      // u1's second and u2's only session are still open.
+      assert(closedInBatch == Set((1L, 0L, t0, t0 + 10 * MIN, 2L, 3.0)))
+
+      // batch 2: far-future row advances the watermark -> timeouts fire
+      Seq((99L, ts(t0 + 86400000L), 0.0)).toDF("user_id", "ts", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess_test").as[StreamingSessions.SessionRow]
+      .collect().map(r => (r.user_id, r.session_seq, r.session_start.getTime,
+        r.session_end.getTime, r.n_events, r.value_sum)).toSet
+    assert(got == Set(
+      (1L, 0L, t0, t0 + 10 * MIN, 2L, 3.0),
+      (1L, 1L, t0 + 50 * MIN, t0 + 50 * MIN, 1L, 4.0),
+      (2L, 0L, t0 + 5 * MIN, t0 + 5 * MIN, 1L, 8.0)))
+    // u99's session is still open: not emitted
+
+    // cross-check against the batch sessionizer on the same closed users
+    // (batch session_seq is 1-based; streaming is 0-based)
+    val batch = EventOps.sessions(
+        data1.toDF("user_id", "ts", "value").withColumn("event_id", lit(0L)))
+      .collect().map(r => (r.getLong(r.fieldIndex("user_id")),
+        r.getLong(r.fieldIndex("session_seq")) - 1L,
+        r.getTimestamp(r.fieldIndex("session_start")).getTime,
+        r.getTimestamp(r.fieldIndex("session_end")).getTime,
+        r.getLong(r.fieldIndex("n_events")),
+        r.getDouble(r.fieldIndex("value_sum")))).toSet
+    assert(batch == got)
+  }
+}
