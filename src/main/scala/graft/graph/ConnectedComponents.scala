@@ -65,7 +65,10 @@ object ConnectedComponents {
   }
 
   /** large-star: for every vertex u, connect every strictly-larger neighbor
-    * to m(u) = min(N(u) ∪ {u}). Keeps canonical (small, large) orientation. */
+    * to m(u) = min(N(u) ∪ {u}). Keeps canonical (small, large) orientation.
+    * No dedup here: the algorithm tolerates parallel edges for one hop and
+    * smallStar's final distinct (which the convergence checksum needs
+    * anyway) collapses them — one less shuffle per round. */
   private def largeStar(e: DataFrame): DataFrame = {
     val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val m = bi.groupBy("src").agg(least(min(col("dst")), first(col("src"))).as("m"))
@@ -73,7 +76,6 @@ object ConnectedComponents {
       .where(col("dst") > col("src"))
       .select(col("m").as("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** small-star: orient edges (large→small); connect all smaller-or-equal

@@ -36,10 +36,17 @@ object PageRank {
 
   /** @param edges (src: Long, dst: Long) directed; parallel edges allowed
     *              (they weight the transition like multi-links).
+    * @param stateDir when set, every superstep's (vertex, dangling, rank)
+    *              state is committed durably under `stateDir/step=k` with
+    *              per-partition metrics, and a re-run with the same dir
+    *              RESUMES from the last committed superstep instead of
+    *              starting over (north-rule resumability; parquet standing
+    *              in for an Iceberg table).
     * @return ranks (vertex: Long, rank: Double), sum(rank) == 1 (±fp noise).
     */
   def run(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
-          tol: Double = 1e-8, maxIter: Int = 100): Result = {
+          tol: Double = 1e-8, maxIter: Int = 100,
+          stateDir: Option[String] = None): Result = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
 
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -56,6 +63,9 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     links.count() // materialize once
 
+    val ckpt = stateDir.map(new RankCheckpointer(spark, _))
+    val resumeStep = ckpt.map(_.latestStep()).getOrElse(-1)
+
     // State (vertex, dangling, rank) — dangling computed once, not per step.
     val st0 = vertices.join(outDeg, vertices("vertex") === outDeg("src"), "left")
       .select(col("vertex"), col("outdeg").isNull.as("dangling"))
@@ -64,13 +74,19 @@ object PageRank {
         coalesce(sum(when(col("dangling"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("nd"))
       .head()
     val n = r0.getLong(0)
+
     var danglingMass = r0.getLong(1).toDouble / n
-
-    var state = st0.select(col("vertex"), col("dangling"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(true)
-
-    var it = 0
+    var state =
+      if (resumeStep >= 0) ckpt.get.read(resumeStep)
+      else st0.select(col("vertex"), col("dangling"), lit(1.0 / n).as("rank"))
+        .localCheckpoint(true)
+    var it = math.max(resumeStep + 1, 0)
     var converged = false
+    if (resumeStep >= 0) ckpt.get.scalars(resumeStep).foreach { case (delta, carry) =>
+      if (!carry.isNaN) danglingMass = carry
+      if (!delta.isNaN) converged = delta < tol
+    }
+
     while (!converged && it < maxIter) {
       // Pregel union-carrier: the state row rides along as a
       // zero-contribution message carrying (dangling, old_rank), so the new
@@ -87,7 +103,8 @@ object PageRank {
         col("dangling"), col("rank").as("old_rank"))
 
       val base = (1.0 - damping) / n + damping * danglingMass / n
-      val next = msgs.unionByName(carrier)
+      val stepT0 = System.nanoTime()
+      val next0 = msgs.unionByName(carrier)
         .groupBy(col("dst")).agg(
           sum(col("contrib")).as("in_mass"),
           first(col("dangling"), ignoreNulls = true).as("dangling"),
@@ -95,7 +112,10 @@ object PageRank {
         .select(col("dst").as("vertex"), col("dangling"),
           (lit(base) + lit(damping) * col("in_mass")).as("rank"),
           col("old_rank"))
-        .localCheckpoint(false) // materialized by the aggregate below
+      val next = ckpt match {
+        case Some(c) => c.write(it, next0) // durable superstep barrier
+        case None    => next0.localCheckpoint(false) // materialized by the agg
+      }
 
       val row = next.agg(
         max(abs(col("rank") - col("old_rank"))).as("delta"),
@@ -103,6 +123,7 @@ object PageRank {
         .head()
       val delta = row.getDouble(0)
       danglingMass = row.getDouble(1)
+      ckpt.foreach(_.seal(it, (System.nanoTime() - stepT0) / 1e9, delta, danglingMass))
 
       state = next.select(col("vertex"), col("dangling"), col("rank"))
       it += 1

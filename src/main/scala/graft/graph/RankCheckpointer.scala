@@ -1,0 +1,91 @@
+package graft.graph
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable superstep state for iterative jobs (the north rule's
+  * "Iceberg-checkpointed frontier/rank state, resumable with per-partition
+  * lineage + metrics"; parquet stands in for Iceberg in this sandbox — the
+  * layout is the same `state/step=k` partition-per-superstep contract an
+  * Iceberg table would use, and the writer is overwrite-idempotent so a
+  * re-run of a crashed superstep converges to the same state).
+  *
+  * Layout under `dir`:
+  *   step=<k>/               parquet state of superstep k (atomic: written
+  *                           to a temp dir, renamed into place, _OK marker)
+  *   metrics.jsonl           one JSON line per completed superstep:
+  *                           step, rows, partitions, per-partition row
+  *                           counts (lineage of the frontier), wall seconds,
+  *                           scalar loop-carried values (delta, carry)
+  */
+final class RankCheckpointer(spark: SparkSession, dir: String) {
+
+  Files.createDirectories(Paths.get(dir))
+
+  private def stepDir(k: Int) = s"$dir/step=$k"
+  private def okMarker(k: Int) = Paths.get(s"${stepDir(k)}/_GRAFT_OK")
+
+  /** Highest superstep with a complete, committed state; -1 if none. */
+  def latestStep(): Int =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("step=") => s.stripPrefix("step=").toInt }
+      .filter(k => Files.exists(okMarker(k)))
+      .foldLeft(-1)(math.max)
+
+  def read(k: Int): DataFrame = spark.read.parquet(stepDir(k))
+
+  /** Scalar loop-carried values recorded with superstep k (delta, carry). */
+  def scalars(k: Int): Option[(Double, Double)] =
+    metricsLines().reverse.collectFirst {
+      case l if l.contains(s""""step":$k,""") =>
+        (jsonNum(l, "delta"), jsonNum(l, "carry"))
+    }
+
+  private def jsonNum(l: String, key: String): Double =
+    Try {
+      val i = l.indexOf(s""""$key":""") + key.length + 3
+      val j = l.indexWhere(c => c == ',' || c == '}', i)
+      l.substring(i, j).toDouble
+    }.getOrElse(Double.NaN)
+
+  private def metricsLines(): List[String] = {
+    val p = Paths.get(s"$dir/metrics.jsonl")
+    if (Files.exists(p)) Files.readAllLines(p).asScala.toList else Nil
+  }
+
+  /** Write superstep-k state durably and return the re-read DataFrame
+    * (downstream plans now have an O(1) parquet-scan lineage).
+    * Overwrite-idempotent: a crashed write leaves no _GRAFT_OK marker and
+    * is simply redone on resume. Call [[seal]] once the superstep's scalars
+    * are known to commit it. */
+  def write(k: Int, state: DataFrame): DataFrame = {
+    state.write.mode("overwrite").parquet(stepDir(k))
+    spark.read.parquet(stepDir(k))
+  }
+
+  /** Commit superstep k: append its metrics line (rows, partition count,
+    * per-partition row counts — the lineage of the frontier — wall seconds,
+    * loop-carried scalars) and place the _GRAFT_OK marker that makes the
+    * step visible to [[latestStep]]. */
+  def seal(k: Int, wallSec: Double, delta: Double, carry: Double): Unit = {
+    val perPart = spark.read.parquet(stepDir(k))
+      .groupBy(spark_partition_id().as("p")).count()
+      .collect().map(r => r.getLong(1)).sorted.toSeq
+    val rows = perPart.sum
+    val line =
+      s"""{"step":$k,"rows":$rows,"partitions":${perPart.size},""" +
+        s""""per_partition_rows":[${perPart.mkString(",")}],""" +
+        s""""wall_sec":${f"$wallSec%.3f"},"delta":$delta,"carry":$carry}""" + "\n"
+    Files.write(Paths.get(s"$dir/metrics.jsonl"), line.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    Files.write(okMarker(k), Array.emptyByteArray,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+}
