@@ -92,6 +92,17 @@ object Queries {
     Shaping.fillRepresentatives(assign).orderBy("cluster", "object")
   }
 
+  /** Degree computed through the salted adjacency-block layer (same oracle
+    * as q_degree; exercises hub splitting + two-phase re-aggregation). */
+  def qAdjacencyDegree(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = EdgeOps.symmetrize(
+      edges(spark, sfDir).select(col("src"), col("dst"), col("weight").cast("double")))
+    graft.graph.Adjacency.degreesFromBlocks(
+        graft.graph.Adjacency.blocks(spark, bi, blockSize = 8))
+      .select(col("src").as("vertex"), col("degree"))
+      .orderBy("vertex")
+  }
+
   def qTriangles(spark: SparkSession, sfDir: String): DataFrame =
     TriangleCount.globalCount(spark, edges(spark, sfDir))
 

@@ -20,6 +20,7 @@ object SparkEntry {
     "q_edges_build"      -> (Queries.qEdgesBuild _),
     "q_edge_filter"      -> (Queries.qEdgeFilter _),
     "q_degree"           -> (Queries.qDegree _),
+    "q_adjacency_degree" -> (Queries.qAdjacencyDegree _),
     "q_weight_hist"      -> (Queries.qWeightHist _),
     "q_edge_stats"       -> (Queries.qEdgeStats _),
     "q_dedup_min"        -> (Queries.qDedupMin _),
@@ -106,6 +107,13 @@ object SparkEntry {
          |WHERE src <> dst AND weight >= 2 AND weight <= 4 ORDER BY src, dst""".stripMargin,
 
     "q_degree" ->
+      s"""WITH $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+         |SELECT src AS vertex, count(*) AS degree FROM bi GROUP BY src ORDER BY vertex""".stripMargin,
+
+    // same oracle as q_degree — the Spark side routes through salted
+    // adjacency blocks + two-phase re-aggregation instead of a direct groupBy
+    "q_adjacency_degree" ->
       s"""WITH $EDGES_T2,
          |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
          |SELECT src AS vertex, count(*) AS degree FROM bi GROUP BY src ORDER BY vertex""".stripMargin,

@@ -3,16 +3,20 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Triangle counting by ordered wedge join (no clusty counterpart — new
-  * operator per the north rule).
+/** Triangle counting by degree-oriented wedge join ("compact-forward";
+  * no clusty counterpart — new operator per the north rule).
   *
-  * Canonicalize to a < b, then join wedges (a,b)+(b,c) with a<b<c against the
-  * edge set on (a,c): each triangle is produced exactly once. The ordering
-  * constraint is the classic degree/id-orientation trick that keeps hub
-  * vertices from exploding the wedge join — every wedge is generated at its
-  * middle vertex only for ordered pairs, and the final probe is an equi-join
-  * Catalyst executes as shuffled hash join (broadcast if the edge set is
-  * small). All skew-prone aggregates are partial-aggregated map-side.
+  * Every undirected edge is oriented from its lower-(degree, id) endpoint to
+  * the higher one; wedges are generated at the middle vertex between ordered
+  * out-neighbor pairs and closed by an equi-join back to the oriented edge
+  * set. Each triangle appears exactly once.
+  *
+  * Why degree order and not id order: with id order a low-id HUB generates
+  * O(deg²) wedges in one task. Degree orientation bounds every vertex's
+  * out-degree by O(√m), so total wedges are O(m^1.5) regardless of skew —
+  * this is the difference between a web-scale run finishing or one task
+  * OOMing on the first big hub. Joins are plain equi-joins (AQE free to pick
+  * broadcast/SHJ); aggregates partial-combine map-side.
   */
 object TriangleCount {
 
@@ -23,15 +27,40 @@ object TriangleCount {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
 
+  /** Edges oriented by (degree, id): (u, v, dv) with (du,u) < (dv,v). */
+  private def oriented(e: DataFrame): DataFrame = {
+    val deg = e.select(explode(array(col("a"), col("b"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.toDF("a", "da"), "a")
+      .join(deg.toDF("b", "db"), "b")
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+  }
+
   /** All triangles as (a, b, c) with a < b < c, each exactly once. */
   def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val e = canonicalEdges(edges)
-    val e1 = e.toDF("a", "b")
-    val e2 = e.toDF("b", "c")
-    val wedges = e1.join(e2, "b").where(col("a") < col("c"))
-      .select(col("a"), col("b"), col("c"))
-    val closing = e.toDF("a", "c")
-    wedges.join(closing, Seq("a", "c")).select(col("a"), col("b"), col("c"))
+    val or = oriented(canonicalEdges(edges))
+    val l = or.toDF("u", "va", "dva")
+    val r = or.toDF("u", "vb", "dvb")
+    // ordered out-neighbor pairs at the middle vertex: (dva,va) < (dvb,vb),
+    // which is exactly the orientation of the closing edge va -> vb
+    val wedges = l.join(r, "u")
+      .where((col("dva") < col("dvb")) ||
+        (col("dva") === col("dvb") && col("va") < col("vb")))
+      .select(col("u"), col("va"), col("vb"))
+    val closing = or.select(col("u").as("va"), col("v").as("vb"))
+    val tri = wedges.join(closing, Seq("va", "vb"))
+    // restore the id-canonical (a < b < c) output contract
+    val sorted = array_sort(array(col("u"), col("va"), col("vb")))
+    tri.select(
+      element_at(sorted, 1).as("a"),
+      element_at(sorted, 2).as("b"),
+      element_at(sorted, 3).as("c"))
   }
 
   /** Global triangle count: single-row DataFrame (n_triangles: Long). */
