@@ -125,6 +125,23 @@ object Queries {
   def qLabelPropagation(spark: SparkSession, sfDir: String): DataFrame =
     LabelPropagation.run(spark, edges(spark, sfDir), iterations = 10).orderBy("vertex")
 
+  /** Weighted PageRank: transition probability ∝ co-occurrence weight. */
+  def qPageRankWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = PageRank.runUndirected(spark,
+      edges(spark, sfDir).select(col("src"), col("dst"), col("weight").cast("double")),
+      tol = 1e-6, maxIter = 30, weightCol = Some("weight"))
+    r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
+  }
+
+  /** Newman modularity of the connected-components partition (SQL-oracled:
+    * DuckDB recomputes Q from the same recursive-CTE components). */
+  def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir)
+    val cc = ConnectedComponents.run(spark, e)
+    graft.graph.Modularity.of(spark, e,
+      cc.select(col("vertex"), col("component").as("label")))
+  }
+
   // ---- Greedy clusterings (clusty C2-C5; sequential-per-component) ---------
 
   /** Edge weights as distances: co-occurrence count is a similarity, so

@@ -32,6 +32,8 @@ object SparkEntry {
     "q_tri_per_vertex"   -> (Queries.qTrianglesPerVertex _),
     "q_pagerank"         -> (Queries.qPageRank _),
     "q_pagerank_full"    -> (Queries.qPageRankFull _),
+    "q_pagerank_weighted" -> (Queries.qPageRankWeighted _),
+    "q_modularity"       -> (Queries.qModularity _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
     // greedy clusterings (clusty C2-C5; sequential-per-component, no SQL twin)
     "q_setcover"         -> (Queries.qSetCover _),
@@ -140,6 +142,22 @@ object SparkEntry {
 
     "q_cc" ->
       s"WITH $CC SELECT v AS vertex, component FROM reach ORDER BY vertex",
+
+    "q_modularity" ->
+      s"""WITH $CC,
+         |tagged AS (SELECT e.src AS a, e.dst AS b, ra.component AS ca, rb.component AS cb
+         |  FROM e JOIN reach ra ON e.src = ra.v JOIN reach rb ON e.dst = rb.v),
+         |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM tagged),
+         |intra AS (SELECT ca AS c, count(*) AS ec FROM tagged WHERE ca = cb GROUP BY ca),
+         |degs AS (SELECT c, count(*) AS dc FROM (
+         |    SELECT ca AS c FROM tagged UNION ALL SELECT cb FROM tagged) GROUP BY c),
+         |q AS (SELECT sum(CAST(coalesce(ec, 0) AS DOUBLE) / (SELECT m FROM mm)
+         |    - pow(dc / (2 * (SELECT m FROM mm)), 2)) AS qv
+         |  FROM degs LEFT JOIN intra USING (c))
+         |SELECT round(qv, 6) AS modularity,
+         |  CAST((SELECT m FROM mm) AS BIGINT) AS m,
+         |  (SELECT count(DISTINCT component) FROM reach) AS n_communities
+         |FROM q""".stripMargin,
 
     "q_cluster_shape" ->
       s"WITH $SHAPED SELECT object, cluster, cluster_size FROM shaped ORDER BY cluster, object",

@@ -46,19 +46,23 @@ object PageRank {
     */
   def run(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
           tol: Double = 1e-8, maxIter: Int = 100,
-          stateDir: Option[String] = None): Result = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+          stateDir: Option[String] = None,
+          weightCol: Option[String] = None): Result = {
+    // unweighted: every edge weighs 1; weighted: transition probability
+    // proportional to the edge weight (share = w / Σ out-weights)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0)).as("w"))
 
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
 
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
       .distinct()
 
-    // Pre-divide: contribution factor per edge = 1/outdeg(src). Partitioned
+    // Pre-divide: contribution factor per edge = w/Σw(src). Partitioned
     // on src once; the big side never moves again.
     val links = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("share"))
+      .select(col("src"), col("dst"), (col("w") / col("outdeg")).as("share"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     links.count() // materialize once
@@ -135,9 +139,12 @@ object PageRank {
 
   /** Undirected convenience: run on the symmetrized edge set. */
   def runUndirected(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
-                    tol: Double = 1e-8, maxIter: Int = 100): Result = {
-    val bi = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    run(spark, bi, damping, tol, maxIter)
+                    tol: Double = 1e-8, maxIter: Int = 100,
+                    stateDir: Option[String] = None,
+                    weightCol: Option[String] = None): Result = {
+    val keep = weightCol.toSeq.map(col)
+    val bi = edges.select(Seq(col("src"), col("dst")) ++ keep: _*)
+      .union(edges.select(Seq(col("dst").as("src"), col("src").as("dst")) ++ keep: _*))
+    run(spark, bi, damping, tol, maxIter, stateDir, weightCol)
   }
 }

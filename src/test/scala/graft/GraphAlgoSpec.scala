@@ -85,6 +85,31 @@ class GraphAlgoSpec extends SparkTestBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-6, "total mass conserved")
   }
 
+  test("weighted pagerank matches weighted power-iteration oracle to 1e-6") {
+    val wEdges = rawEdges.zipWithIndex.map { case ((a, b), i) => (a, b, 0.5 + (i % 7)) }
+    val outW = wEdges.groupBy(_._1).map { case (k, es) => k -> es.map(_._3).sum }
+    val inE = wEdges.groupBy(_._2)
+    val d = 0.85
+    val nn = vertices.size
+    var r = vertices.map(_ -> 1.0 / nn).toMap
+    var delta = 1.0
+    while (delta > 1e-12) {
+      val dangling = vertices.filterNot(outW.contains).map(r).sum
+      val nr = vertices.map { v =>
+        val in = inE.getOrElse(v, Seq.empty).map { case (u, _, w) => r(u) * w / outW(u) }.sum
+        v -> ((1.0 - d) / nn + d * (in + dangling / nn))
+      }.toMap
+      delta = vertices.map(v => math.abs(nr(v) - r(v))).max
+      r = nr
+    }
+    val res = graft.graph.PageRank.run(spark, wEdges.toDF("src", "dst", "w"),
+      damping = d, tol = 1e-8, maxIter = 200, weightCol = Some("w"))
+    assert(res.converged)
+    val got = res.ranks.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val maxErr = r.keys.map(v => math.abs(got(v) - r(v))).max
+    assert(maxErr < 1e-6, s"max |spark - oracle| = $maxErr")
+  }
+
   test("label propagation matches synchronous oracle exactly") {
     val iters = 10
     var lab = vertices.map(v => v -> v).toMap
