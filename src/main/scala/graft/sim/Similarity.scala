@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -10,8 +9,9 @@ import org.apache.spark.storage.StorageLevel
   *
   *  - [[cosine]] — zip_with + aggregate dot product, pure codegen expression.
   *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set
-  *    against the corpus, per-query window top-k. One broadcast join, one
-  *    shuffle on query id: the right plan when |queries| ≪ |corpus|.
+  *    against the corpus, bounded per-query top-k via the TopKAggregator
+  *    (O(k) state, map-side partial merge — no per-group sort). One
+  *    broadcast join, one shuffle of k rows per query.
   *  - [[lshTopK]] — scale path: random-hyperplane signature (deterministic
   *    seeded planes), candidates = same signature-band bucket, rerank
   *    exactly. Probe cost drops from O(|corpus|) to O(bucket).
@@ -47,6 +47,21 @@ object Similarity {
     df.select(col(idCol), col(vecCol).cast("array<double>").as(vOut))
       .withColumn(nOut, norm(col(vOut)))
 
+  /** Bounded per-group top-k: (group, id, score) → (group, id, score, rank).
+    * Uses the [[graft.functions.TopKAggregator]] `Aggregator` instead of a
+    * window row_number: O(k) state per group with map-side partial merge —
+    * only k rows per group cross the exchange, no full per-group sort. */
+  private def topKPerGroup(scored: DataFrame, k: Int,
+                           groupCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val topk = udaf(new graft.functions.TopKAggregator(k), ExpressionEncoder[(Double, Long)]())
+    scored.groupBy(col(groupCol))
+      .agg(topk(col("sim"), col(idCol)).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col(groupCol), col("item._2").as(idCol),
+        col("item._1").as("sim"), (col("pos") + lit(1)).cast("int").as("rank"))
+  }
+
   /** Exact top-k neighbors for each query vector.
     * @param corpus  (id, vec) — the full embedding table
     * @param queries (qid, qvec) — small enough to broadcast
@@ -59,8 +74,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol),
         cosineWithNorms(col("_v"), col("_qv"), col("_nv"), col("_nq")).as("sim"))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerGroup(scored, k, qidCol, idCol)
   }
 
   /** nBits-bit random-hyperplane signature of a vector: a ±1 Rademacher
@@ -125,8 +139,7 @@ object Similarity {
     val scored = cand.join(c, idCol).join(broadcast(q), qidCol)
       .select(col(qidCol), col(idCol),
         cosineWithNorms(col("_v"), col("_qv"), col("_nv"), col("_nq")).as("sim"))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerGroup(scored, k, qidCol, idCol)
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
