@@ -19,8 +19,12 @@ class TopKAggregator(k: Int)
 
   require(k > 0)
 
-  private def worseThan(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 < b._1 || (a._1 == b._1 && a._2 > b._2) // lower score, or tie + higher id
+  // total order even for NaN (compare ranks NaN greatest, like Spark's
+  // window desc ordering did): lower score, or tie + higher id = worse
+  private def worseThan(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c < 0 || (c == 0 && a._2 > b._2)
+  }
 
   /** Insert keeping the buffer sorted best-first, capped at k. */
   private def insert(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] = {

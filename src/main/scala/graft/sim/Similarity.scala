@@ -50,13 +50,16 @@ object Similarity {
   /** Bounded per-group top-k: (group, id, score) → (group, id, score, rank).
     * Uses the [[graft.functions.TopKAggregator]] `Aggregator` instead of a
     * window row_number: O(k) state per group with map-side partial merge —
-    * only k rows per group cross the exchange, no full per-group sort. */
+    * only k rows per group cross the exchange, no full per-group sort.
+    * Contract: id must be integral (emitted as long); null score/id rows
+    * are dropped (a null cosine can only come from a null vector). */
   private def topKPerGroup(scored: DataFrame, k: Int,
                            groupCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val topk = udaf(new graft.functions.TopKAggregator(k), ExpressionEncoder[(Double, Long)]())
-    scored.groupBy(col(groupCol))
-      .agg(topk(col("sim"), col(idCol)).as("top"))
+    scored.where(col("sim").isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(topk(col("sim"), col(idCol).cast("long")).as("top"))
       .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col(groupCol), col("item._2").as(idCol),
         col("item._1").as("sim"), (col("pos") + lit(1)).cast("int").as("rank"))
