@@ -18,12 +18,31 @@ import graft.cluster.{GreedyClustering, Shaping}
 object Queries {
 
   /** Shared edge table: part co-occurrence, thresholded to keep the graph
-    * sparse enough to have interesting component structure. */
+    * sparse enough to have interesting component structure.
+    *
+    * Materialized once per (session, sfDir) and reused across the catalog —
+    * the engine-level equivalent of keeping the extracted edge table as an
+    * Iceberg table instead of re-deriving it from raw pages per query. */
   def edges(spark: SparkSession, sfDir: String): DataFrame =
-    EdgeOps.partCooccurrence(spark, sfDir, minWeight = 2L)
+    cached(spark, sfDir, "t2") {
+      EdgeOps.partCooccurrence(spark, sfDir, minWeight = 2L)
+    }
 
   def edgesAll(spark: SparkSession, sfDir: String): DataFrame =
-    EdgeOps.partCooccurrence(spark, sfDir, minWeight = 1L)
+    cached(spark, sfDir, "all") {
+      EdgeOps.partCooccurrence(spark, sfDir, minWeight = 1L)
+    }
+
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  private def cached(spark: SparkSession, sfDir: String, key: String)
+                    (build: => DataFrame): DataFrame =
+    edgeCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, key), {
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly so every consumer pays the build once
+      df
+    })
 
   /** Universe of objects (parts) with priority rank = part key order. */
   def universe(spark: SparkSession, sfDir: String): DataFrame =
