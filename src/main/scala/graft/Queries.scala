@@ -44,6 +44,14 @@ object Queries {
       df
     })
 
+  /** Components of the shared thresholded graph — nine catalog queries
+    * consume this partition (shape/singleton/reps/greedy/modularity), so
+    * like the edge table it is materialized once per session. */
+  def cc(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spark, sfDir, "cc") {
+      ConnectedComponents.run(spark, edges(spark, sfDir))
+    }
+
   /** Universe of objects (parts) with priority rank = part key order. */
   def universe(spark: SparkSession, sfDir: String): DataFrame =
     Tables.part(spark, sfDir)
@@ -87,26 +95,23 @@ object Queries {
   // ---- Graph operators -----------------------------------------------------
 
   def qConnectedComponents(spark: SparkSession, sfDir: String): DataFrame =
-    ConnectedComponents.run(spark, edges(spark, sfDir)).orderBy("vertex")
+    cc(spark, sfDir).orderBy("vertex")
 
   def qClusterShape(spark: SparkSession, sfDir: String): DataFrame = {
-    val cc = ConnectedComponents.run(spark, edges(spark, sfDir))
-    val assign = cc.select(col("vertex").as("object"), col("component").as("cluster"))
+    val assign = cc(spark, sfDir).select(col("vertex").as("object"), col("component").as("cluster"))
     Shaping.renumberBySize(assign).orderBy("cluster", "object")
   }
 
   def qClusterSingletons(spark: SparkSession, sfDir: String): DataFrame = {
-    val cc = ConnectedComponents.run(spark, edges(spark, sfDir))
     val assign = Shaping.renumberBySize(
-        cc.select(col("vertex").as("object"), col("component").as("cluster")))
+        cc(spark, sfDir).select(col("vertex").as("object"), col("component").as("cluster")))
       .select(col("object"), col("cluster"))
     Shaping.appendSingletons(assign, universe(spark, sfDir)).orderBy("cluster", "object")
   }
 
   def qClusterRepresentatives(spark: SparkSession, sfDir: String): DataFrame = {
-    val cc = ConnectedComponents.run(spark, edges(spark, sfDir))
     val assign = Shaping.renumberBySize(
-        cc.select(col("vertex").as("object"), col("component").as("cluster")))
+        cc(spark, sfDir).select(col("vertex").as("object"), col("component").as("cluster")))
       .select(col("object"), col("cluster"))
     Shaping.fillRepresentatives(assign).orderBy("cluster", "object")
   }
@@ -154,12 +159,9 @@ object Queries {
 
   /** Newman modularity of the connected-components partition (SQL-oracled:
     * DuckDB recomputes Q from the same recursive-CTE components). */
-  def qModularity(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = edges(spark, sfDir)
-    val cc = ConnectedComponents.run(spark, e)
-    graft.graph.Modularity.of(spark, e,
-      cc.select(col("vertex"), col("component").as("label")))
-  }
+  def qModularity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Modularity.of(spark, edges(spark, sfDir),
+      cc(spark, sfDir).select(col("vertex"), col("component").as("label")))
 
   // ---- Greedy clusterings (clusty C2-C5; sequential-per-component) ---------
 
@@ -174,18 +176,19 @@ object Queries {
 
   def qSetCover(spark: SparkSession, sfDir: String): DataFrame =
     GreedyClustering.run(spark, distEdges(spark, sfDir), vertexRanks(spark, sfDir),
-      GreedyClustering.SetCover).orderBy("vertex")
+      GreedyClustering.SetCover, precomputedCC = Some(cc(spark, sfDir))).orderBy("vertex")
 
   def qCdHit(spark: SparkSession, sfDir: String): DataFrame =
     GreedyClustering.run(spark, distEdges(spark, sfDir), vertexRanks(spark, sfDir),
-      GreedyClustering.CdHit).orderBy("vertex")
+      GreedyClustering.CdHit, precomputedCC = Some(cc(spark, sfDir))).orderBy("vertex")
 
   def qUclust(spark: SparkSession, sfDir: String): DataFrame =
     GreedyClustering.run(spark, distEdges(spark, sfDir), vertexRanks(spark, sfDir),
-      GreedyClustering.Uclust).orderBy("vertex")
+      GreedyClustering.Uclust, precomputedCC = Some(cc(spark, sfDir))).orderBy("vertex")
 
   def qCompleteLinkage(spark: SparkSession, sfDir: String): DataFrame =
-    GreedyClustering.completeLinkage(spark, distEdges(spark, sfDir)).orderBy("vertex")
+    GreedyClustering.completeLinkage(spark, distEdges(spark, sfDir),
+      precomputedCC = Some(cc(spark, sfDir))).orderBy("vertex")
 
   // ---- Multimodal binary plumbing (synthesized pages; sf-independent) ------
 

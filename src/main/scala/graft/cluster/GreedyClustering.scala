@@ -32,12 +32,13 @@ object GreedyClustering {
   case object Uclust extends Algo   // visit by rank asc; join closest seed neighbor else become seed
 
   def run(spark: SparkSession, edges: DataFrame, ranks: DataFrame, algo: Algo,
-          maxComponentSize: Int = 5000000): DataFrame = {
+          maxComponentSize: Int = 5000000,
+          precomputedCC: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
 
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double")).where(col("src") =!= col("dst"))
-    val cc = ConnectedComponents.run(spark, e)
+    val cc = precomputedCC.getOrElse(ConnectedComponents.run(spark, e))
 
     // tag each edge and each vertex with its component
     val eTagged = e.join(cc.withColumnRenamed("vertex", "src"), "src")
@@ -118,11 +119,12 @@ object GreedyClustering {
     * Output cluster id = min member vertex id.
     */
   def completeLinkage(spark: SparkSession, edges: DataFrame, threshold: Double = Double.MaxValue,
-                      maxComponentSize: Int = 5000000): DataFrame = {
+                      maxComponentSize: Int = 5000000,
+                      precomputedCC: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("weight").cast("double")).where(col("src") =!= col("dst"))
-    val cc = ConnectedComponents.run(spark, e)
+    val cc = precomputedCC.getOrElse(ConnectedComponents.run(spark, e))
     val eTagged = e.join(cc.withColumnRenamed("vertex", "src"), "src")
       .select(col("component"), col("src"), col("dst"), col("weight"))
       .as[(Long, Long, Long, Double)]
