@@ -157,6 +157,19 @@ object Queries {
     r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
   }
 
+  /** 2-core of the thresholded graph (iterative peeling; rows-only check —
+    * exact peeling oracle lives in KCoreSpec). */
+  def qKCore(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.KCore.coreVertices(spark, edges(spark, sfDir), k = 3).orderBy("vertex")
+
+  /** HITS hubs/authorities over the directed co-occurrence graph (rows-only;
+    * power-iteration oracle in HitsSpec). */
+  def qHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = graft.graph.Hits.run(spark, edges(spark, sfDir), iterations = 15)
+    r.scores.select(col("vertex"), round(col("hub"), 8).as("hub"),
+      round(col("authority"), 8).as("authority")).orderBy("vertex")
+  }
+
   /** Newman modularity of the connected-components partition (SQL-oracled:
     * DuckDB recomputes Q from the same recursive-CTE components). */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame =

@@ -34,6 +34,8 @@ object SparkEntry {
     "q_pagerank_full"    -> (Queries.qPageRankFull _),
     "q_pagerank_weighted" -> (Queries.qPageRankWeighted _),
     "q_modularity"       -> (Queries.qModularity _),
+    "q_kcore"            -> (Queries.qKCore _),
+    "q_hits"             -> (Queries.qHits _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
     // greedy clusterings (clusty C2-C5; sequential-per-component, no SQL twin)
     "q_setcover"         -> (Queries.qSetCover _),
