@@ -157,6 +157,17 @@ object Queries {
     r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
   }
 
+  /** Personalized PageRank: random walk with restart to a fixed seed set
+    * (5 lowest part keys); rows-only, seeded oracle in GraphAlgoSpec. */
+  def qPageRankPersonalized(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir)
+    val bi = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = e.select(col("src").as("vertex")).distinct().orderBy("vertex").limit(5)
+    val r = PageRank.runPersonalized(spark, bi, seeds, tol = 1e-6, maxIter = 30)
+    r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
+  }
+
   /** 2-core of the thresholded graph (iterative peeling; rows-only check —
     * exact peeling oracle lives in KCoreSpec). */
   def qKCore(spark: SparkSession, sfDir: String): DataFrame =

@@ -36,6 +36,7 @@ object SparkEntry {
     "q_modularity"       -> (Queries.qModularity _),
     "q_kcore"            -> (Queries.qKCore _),
     "q_hits"             -> (Queries.qHits _),
+    "q_ppr"              -> (Queries.qPageRankPersonalized _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
     // greedy clusterings (clusty C2-C5; sequential-per-component, no SQL twin)
     "q_setcover"         -> (Queries.qSetCover _),

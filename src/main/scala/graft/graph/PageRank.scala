@@ -47,7 +47,8 @@ object PageRank {
   def run(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
           tol: Double = 1e-8, maxIter: Int = 100,
           stateDir: Option[String] = None,
-          weightCol: Option[String] = None): Result = {
+          weightCol: Option[String] = None,
+          seeds: Option[DataFrame] = None): Result = {
     // unweighted: every edge weighs 1; weighted: transition probability
     // proportional to the edge weight (share = w / Σ out-weights)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
@@ -70,19 +71,43 @@ object PageRank {
     val ckpt = stateDir.map(new RankCheckpointer(spark, _))
     val resumeStep = ckpt.map(_.latestStep()).getOrElse(-1)
 
-    // State (vertex, dangling, rank) — dangling computed once, not per step.
-    val st0 = vertices.join(outDeg, vertices("vertex") === outDeg("src"), "left")
+    // State (vertex, dangling, tele, rank) — dangling flag and teleport
+    // weight computed once, not per step. tele is the teleport distribution:
+    // uniform 1/n, or (personalized) 1/|seeds| on the seed set and 0
+    // elsewhere; dangling mass is redistributed by tele, so uniform
+    // PageRank is exactly the seeds=None special case.
+    val st0base = vertices.join(outDeg, vertices("vertex") === outDeg("src"), "left")
       .select(col("vertex"), col("outdeg").isNull.as("dangling"))
+    val st0 = seeds match {
+      case None => st0base.withColumn("seed", lit(false))
+      case Some(sd) =>
+        val sv = sd.select(col(sd.columns.head).cast("long").as("vertex")).distinct()
+          .withColumn("_is_seed", lit(true))
+        st0base.join(sv, Seq("vertex"), "left")
+          .select(col("vertex"), col("dangling"),
+            coalesce(col("_is_seed"), lit(false)).as("seed"))
+    }
     val r0: Row = st0
       .agg(count(lit(1)).as("n"),
-        coalesce(sum(when(col("dangling"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("nd"))
+        coalesce(sum(when(col("dangling"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("nd"),
+        coalesce(sum(when(col("seed"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("ns"),
+        coalesce(sum(when(col("dangling") && col("seed"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("nds"))
       .head()
     val n = r0.getLong(0)
+    val nSeeds = r0.getLong(2)
+    require(seeds.isEmpty || nSeeds > 0, "personalized PageRank needs >= 1 seed present in the graph")
 
-    var danglingMass = r0.getLong(1).toDouble / n
+    val teleCol =
+      if (seeds.isEmpty) lit(1.0 / n)
+      else when(col("seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+
+    var danglingMass =
+      if (seeds.isEmpty) r0.getLong(1).toDouble / n
+      else r0.getLong(3).toDouble / nSeeds
     var state =
       if (resumeStep >= 0) ckpt.get.read(resumeStep)
-      else st0.select(col("vertex"), col("dangling"), lit(1.0 / n).as("rank"))
+      else st0.select(col("vertex"), col("dangling"), teleCol.as("tele"),
+          teleCol.as("rank"))
         .localCheckpoint(true)
     var it = math.max(resumeStep + 1, 0)
     var converged = false
@@ -102,19 +127,23 @@ object PageRank {
       val msgs = links
         .join(state.select(col("vertex"), col("rank")), links("src") === col("vertex"))
         .select(col("dst"), (col("rank") * col("share")).as("contrib"),
-          lit(null).cast("boolean").as("dangling"), lit(null).cast("double").as("old_rank"))
+          lit(null).cast("boolean").as("dangling"),
+          lit(null).cast("double").as("tele"),
+          lit(null).cast("double").as("old_rank"))
       val carrier = state.select(col("vertex").as("dst"), lit(0.0).as("contrib"),
-        col("dangling"), col("rank").as("old_rank"))
+        col("dangling"), col("tele"), col("rank").as("old_rank"))
 
-      val base = (1.0 - damping) / n + damping * danglingMass / n
       val stepT0 = System.nanoTime()
+      // rank' = (1-d)·tele + d·in_mass + d·danglingMass·tele
       val next0 = msgs.unionByName(carrier)
         .groupBy(col("dst")).agg(
           sum(col("contrib")).as("in_mass"),
           first(col("dangling"), ignoreNulls = true).as("dangling"),
+          first(col("tele"), ignoreNulls = true).as("tele"),
           first(col("old_rank"), ignoreNulls = true).as("old_rank"))
-        .select(col("dst").as("vertex"), col("dangling"),
-          (lit(base) + lit(damping) * col("in_mass")).as("rank"),
+        .select(col("dst").as("vertex"), col("dangling"), col("tele"),
+          (lit(1.0 - damping) * col("tele") + lit(damping) * col("in_mass")
+            + lit(damping * danglingMass) * col("tele")).as("rank"),
           col("old_rank"))
       val next = ckpt match {
         case Some(c) => c.write(it, next0) // durable superstep barrier
@@ -129,7 +158,7 @@ object PageRank {
       danglingMass = row.getDouble(1)
       ckpt.foreach(_.seal(it, (System.nanoTime() - stepT0) / 1e9, delta, danglingMass))
 
-      state = next.select(col("vertex"), col("dangling"), col("rank"))
+      state = next.select(col("vertex"), col("dangling"), col("tele"), col("rank"))
       it += 1
       converged = delta < tol
     }
@@ -141,10 +170,19 @@ object PageRank {
   def runUndirected(spark: SparkSession, edges: DataFrame, damping: Double = 0.85,
                     tol: Double = 1e-8, maxIter: Int = 100,
                     stateDir: Option[String] = None,
-                    weightCol: Option[String] = None): Result = {
+                    weightCol: Option[String] = None,
+                    seeds: Option[DataFrame] = None): Result = {
     val keep = weightCol.toSeq.map(col)
     val bi = edges.select(Seq(col("src"), col("dst")) ++ keep: _*)
       .union(edges.select(Seq(col("dst").as("src"), col("src").as("dst")) ++ keep: _*))
-    run(spark, bi, damping, tol, maxIter, stateDir, weightCol)
+    run(spark, bi, damping, tol, maxIter, stateDir, weightCol, seeds)
   }
+
+  /** Personalized PageRank (random walk with restart to the seed set):
+    * teleport and dangling redistribution go to the seeds instead of the
+    * uniform vector. */
+  def runPersonalized(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                      damping: Double = 0.85, tol: Double = 1e-8,
+                      maxIter: Int = 100): Result =
+    run(spark, edges, damping, tol, maxIter, seeds = Some(seeds))
 }

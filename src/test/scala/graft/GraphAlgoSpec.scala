@@ -110,6 +110,34 @@ class GraphAlgoSpec extends SparkTestBase {
     assert(maxErr < 1e-6, s"max |spark - oracle| = $maxErr")
   }
 
+  test("personalized pagerank matches seeded power-iteration oracle to 1e-6") {
+    val seeds = Seq(0L, 7L)
+    val outDeg = rawEdges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val inEdges = rawEdges.groupBy(_._2)
+    val d = 0.85
+    val tele = vertices.map(v => v -> (if (seeds.contains(v)) 1.0 / seeds.size else 0.0)).toMap
+    var r = tele // standard RWR start: mass on the seeds
+    var delta = 1.0
+    while (delta > 1e-12) {
+      val dangling = vertices.filterNot(outDeg.contains).map(r).sum
+      val nr = vertices.map { v =>
+        val in = inEdges.getOrElse(v, Seq.empty).map { case (u, _) => r(u) / outDeg(u) }.sum
+        v -> ((1.0 - d) * tele(v) + d * in + d * dangling * tele(v))
+      }.toMap
+      delta = vertices.map(v => math.abs(nr(v) - r(v))).max
+      r = nr
+    }
+    val res = graft.graph.PageRank.runPersonalized(spark, edgeDf,
+      seeds.toDF("vertex"), damping = d, tol = 1e-8, maxIter = 300)
+    assert(res.converged)
+    val got = res.ranks.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val maxErr = r.keys.map(v => math.abs(got(v) - r(v))).max
+    assert(maxErr < 1e-6, s"max |spark - oracle| = $maxErr")
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, "total mass conserved")
+    // seeds dominate their own neighborhoods
+    assert(got(0L) > got.values.sum / got.size, "seed 0 above average mass")
+  }
+
   test("label propagation matches synchronous oracle exactly") {
     val iters = 10
     var lab = vertices.map(v => v -> v).toMap
