@@ -157,6 +157,12 @@ object Queries {
     r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
   }
 
+  /** Neighborhood-Jaccard of adjacent pairs (link-prediction signal;
+    * full DuckDB oracle). */
+  def qVertexJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.VertexSimilarity.edgeJaccard(spark, edges(spark, sfDir))
+      .orderBy("a", "b")
+
   /** Personalized PageRank: random walk with restart to a fixed seed set
     * (5 lowest part keys); rows-only, seeded oracle in GraphAlgoSpec. */
   def qPageRankPersonalized(spark: SparkSession, sfDir: String): DataFrame = {

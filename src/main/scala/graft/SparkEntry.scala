@@ -37,6 +37,7 @@ object SparkEntry {
     "q_kcore"            -> (Queries.qKCore _),
     "q_hits"             -> (Queries.qHits _),
     "q_ppr"              -> (Queries.qPageRankPersonalized _),
+    "q_vertex_jaccard"   -> (Queries.qVertexJaccard _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
     // greedy clusterings (clusty C2-C5; sequential-per-component, no SQL twin)
     "q_setcover"         -> (Queries.qSetCover _),
@@ -182,6 +183,24 @@ object SparkEntry {
          |       min(object) OVER (PARTITION BY cluster) AS cluster_rep,
          |       cluster
          |FROM shaped ORDER BY cluster, object""".stripMargin,
+
+    "q_vertex_jaccard" ->
+      s"""WITH $EDGES_T2,
+         |bi AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+         |deg AS (SELECT u, count(*) AS d FROM bi GROUP BY u),
+         |common AS (
+         |  SELECT l.u AS a, r.u AS b, count(*) AS common
+         |  FROM bi l JOIN bi r ON l.v = r.v AND l.u < r.u
+         |  GROUP BY l.u, r.u)
+         |SELECT e.src AS a, e.dst AS b,
+         |  CAST(coalesce(c.common, 0) AS BIGINT) AS common,
+         |  round(CAST(coalesce(c.common, 0) AS DOUBLE)
+         |    / (da.d + db.d - coalesce(c.common, 0)), 6) AS jaccard
+         |FROM e
+         |LEFT JOIN common c ON c.a = e.src AND c.b = e.dst
+         |JOIN deg da ON da.u = e.src
+         |JOIN deg db ON db.u = e.dst
+         |ORDER BY a, b""".stripMargin,
 
     "q_triangles" ->
       s"""WITH $EDGES_T2

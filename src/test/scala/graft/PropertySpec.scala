@@ -82,6 +82,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: edge neighborhood-jaccard equals brute force on random graphs") {
+    samples(3).foreach { edges =>
+      val canon = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.toSet
+      val adjm = canon.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val expect = canon.map { case (x, y) =>
+        val common = adjm(x).intersect(adjm(y)).size
+        val uni = adjm(x).size + adjm(y).size - common
+        (x, y) -> (common.toLong,
+          BigDecimal(common.toDouble / uni).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toMap
+      val got = graft.graph.VertexSimilarity.edgeJaccard(spark, edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got.keySet == expect.keySet)
+      expect.foreach { case (k, (c, j)) =>
+        assert(got(k)._1 == c, s"common$k")
+        assert(math.abs(got(k)._2 - j) <= 1e-6, s"jaccard$k")
+      }
+    }
+  }
+
   test("property: size renumbering is dense, size-sorted, partition-preserving") {
     samples(4).foreach { edges =>
       val assign = bfsComponents(edges).toSeq.toDF("object", "cluster")
