@@ -69,6 +69,7 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"pagerank_edges_per_sec":${f"$prEdgesPerSec%.0f"},"pagerank_directed_edges":$nDirected,"pagerank_supersteps":${pr.iterations}}""")
+    Queries.clearCaches()
     spark.stop()
   }
 }

@@ -41,8 +41,17 @@ object Queries {
     edgeCache.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, key), {
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize eagerly so every consumer pays the build once
-      df
+      graft.core.CacheRegistry.register(df)
     })
+
+  /** Release every internally persisted table (shared edge/cc caches here,
+    * LSH signature projections registered by Dedup/Similarity). Call before
+    * `spark.stop()` in batch mains, or whenever the data under an sfDir
+    * changes mid-session (the cache is keyed by path, not content). */
+  def clearCaches(): Unit = {
+    graft.core.CacheRegistry.clearAll()
+    edgeCache.clear()
+  }
 
   /** Components of the shared thresholded graph — nine catalog queries
     * consume this partition (shape/singleton/reps/greedy/modularity), so
@@ -174,8 +183,7 @@ object Queries {
     r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
   }
 
-  /** 2-core of the thresholded graph (iterative peeling; rows-only check —
-    * exact peeling oracle lives in KCoreSpec). */
+  /** 3-core of the thresholded graph (iterative peeling). */
   def qKCore(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.KCore.coreVertices(spark, edges(spark, sfDir), k = 3).orderBy("vertex")
 

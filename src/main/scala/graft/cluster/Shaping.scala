@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Ranking
+
 /** clusty's output-shaping semantics as window/join transforms
   * (SURVEY.md §2.4-2.5):
   *
@@ -16,7 +18,11 @@ import org.apache.spark.sql.functions._
   *  - O3 representative fill: cluster id column replaced by the first member
   *    in final order (reference: src/graph.h:126-149)
   *
-  * All are single-window or single-join transforms; the global orderings are
+  * The global dense renumberings (A3, O2) go through [[Ranking.withGlobalRank]]
+  * — a range-partitioned sort + zipWithIndex, never a single-partition
+  * window: cluster count is O(V), and on a web-scale universe MOST objects
+  * are singletons, so both orderings are full-size datasets. The remaining
+  * window (O3) is partitioned by cluster. The final orderings are
   * range-partitioned sorts, fine at scale because the assignment table is
   * O(vertices), not O(edges).
   */
@@ -31,10 +37,8 @@ object Shaping {
     */
   def renumberBySize(assign: DataFrame): DataFrame = {
     val sizes = assign.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
-    val w = Window.orderBy(col("cluster_size").desc, col("cluster").asc)
-    // cast to long so the schema matches SQL oracles (row_number is int in
-    // Spark, bigint in most engines)
-    val renum = sizes.withColumn("new_cluster", (row_number().over(w) - lit(1)).cast("long"))
+    val renum = Ranking.withGlobalRank(sizes, "new_cluster",
+      col("cluster_size").desc, col("cluster").asc)
     assign.join(renum, "cluster")
       .select(col("object"), col("new_cluster").as("cluster"), col("cluster_size"))
   }
@@ -48,10 +52,10 @@ object Shaping {
   def appendSingletons(assign: DataFrame, universe: DataFrame): DataFrame = {
     val nClusters = assign.agg(coalesce(max(col("cluster")) + lit(1L), lit(0L)))
       .head().getLong(0)
-    val singletons = universe.join(assign, Seq("object"), "left_anti")
-      .withColumn("cluster",
-        row_number().over(Window.orderBy(col("rank").asc)) - lit(1) + lit(nClusters))
-      .select(col("object"), col("cluster").cast("long"))
+    val missing = universe.join(assign, Seq("object"), "left_anti")
+      .select(col("object"), col("rank"))
+    val singletons = Ranking.withGlobalRank(missing, "_rn", col("rank").asc)
+      .select(col("object"), (col("_rn") + lit(nClusters)).cast("long").as("cluster"))
     assign.select(col("object"), col("cluster").cast("long")).unionByName(singletons)
   }
 

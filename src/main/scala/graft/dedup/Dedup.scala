@@ -79,8 +79,9 @@ object Dedup {
     // collapse inlines the k-hash signature into the per-band lambda and it
     // is recomputed `bands` times per row (and once more per self-join side
     // downstream). (id, sig[k]) is ~8k bytes/row — cheap at any scale.
-    val sig = docs.select(col(idCol), minhashSignature(col(textCol), k, shingleN).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.core.CacheRegistry.register(
+      docs.select(col(idCol), minhashSignature(col(textCol), k, shingleN).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     sig.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * lit(r) + lit(1), lit(r))), b))))

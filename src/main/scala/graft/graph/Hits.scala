@@ -7,23 +7,31 @@ import org.apache.spark.storage.StorageLevel
 /** HITS (Kleinberg hubs & authorities) — the other canonical link-analysis
   * operator, on the same superstep discipline as PageRank: the edge table is
   * partitioned once and persisted, per half-step one join + one partial-
-  * aggregated sum, state lazily checkpointed and materialized by the single
-  * aggregate that also returns the L2 norm for the next normalization.
+  * aggregated sum, and ONE Spark job per full iteration.
   *
   *   authority(v) = Σ_{u→v} hub(u)   then L2-normalize
   *   hub(u)       = Σ_{u→v} auth(v)  then L2-normalize
+  *
+  * The single-job trick: normalization is a scalar multiple that passes
+  * linearly through the next half-step (hub ∝ Eᵀ·auth regardless of auth's
+  * scale), so the hub sums are computed from the UNNORMALIZED authority sums
+  * and both L2 norms are read back by one union-aggregate that also
+  * materializes the two lazily-localCheckpointed states — no per-half-step
+  * driver round-trip. Magnitudes stay bounded because each iteration's
+  * inputs are the previous iteration's normalized scores.
   */
 object Hits {
 
   final case class Result(scores: DataFrame, iterations: Int)
 
   /** @param edges (src, dst) directed.
-    * @return (vertex, hub, authority), both L2-normalized. */
+    * @return (vertex, hub, authority), both L2-normalized; all-zero scores
+    *         for degenerate inputs (empty edge set) rather than NaN. */
   def run(spark: SparkSession, edges: DataFrame, iterations: Int = 20): Result = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    val nEdges = e.count()
 
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
@@ -34,29 +42,45 @@ object Hits {
     var auths: DataFrame = vertices.select(col("vertex"), lit(1.0).as("authority"))
 
     var it = 0
-    while (it < iterations) {
-      // authority step: sum incoming hub mass, L2-normalize
+    var degenerate = nEdges == 0L
+    while (!degenerate && it < iterations) {
       val aRaw = e.join(hubs, e("src") === hubs("vertex"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
         .select(col("dst").as("vertex"), col("a"))
         .localCheckpoint(false)
-      val aNorm = math.sqrt(aRaw.agg(sum(col("a") * col("a"))).head().getDouble(0))
-      auths = aRaw.select(col("vertex"), (col("a") / lit(aNorm)).as("authority"))
-
-      // hub step: sum outgoing authority mass, L2-normalize
-      val hRaw = e.join(auths, e("dst") === auths("vertex"))
-        .groupBy(col("src")).agg(sum(col("authority")).as("h"))
+      // hub sums from the unnormalized authority sums (scale cancels)
+      val hRaw = e.join(aRaw, e("dst") === aRaw("vertex"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .select(col("src").as("vertex"), col("h"))
         .localCheckpoint(false)
-      val hNorm = math.sqrt(hRaw.agg(sum(col("h") * col("h"))).head().getDouble(0))
-      hubs = hRaw.select(col("vertex"), (col("h") / lit(hNorm)).as("hub"))
-      it += 1
+
+      // one job: materializes both checkpointed states, returns both norms
+      val row = aRaw.select(col("a").as("x"), lit(true).as("isA"))
+        .unionByName(hRaw.select(col("h").as("x"), lit(false).as("isA")))
+        .agg(
+          coalesce(sum(when(col("isA"), col("x") * col("x"))), lit(0.0)).as("a2"),
+          coalesce(sum(when(!col("isA"), col("x") * col("x"))), lit(0.0)).as("h2"))
+        .head()
+      val aNorm = math.sqrt(row.getDouble(0))
+      val hNorm = math.sqrt(row.getDouble(1))
+      if (aNorm == 0.0 || hNorm == 0.0) degenerate = true
+      else {
+        auths = aRaw.select(col("vertex"), (col("a") / lit(aNorm)).as("authority"))
+        hubs = hRaw.select(col("vertex"), (col("h") / lit(hNorm)).as("hub"))
+        it += 1
+      }
     }
 
-    // vertices with no out-edges have hub 0 (and dually for authority)
+    // vertices with no out-edges have hub 0 (and dually for authority);
+    // degenerate inputs yield all-zero scores instead of NaN
+    val (hFinal, aFinal) =
+      if (degenerate && it == 0)
+        (vertices.select(col("vertex"), lit(0.0).as("hub")),
+          vertices.select(col("vertex"), lit(0.0).as("authority")))
+      else (hubs, auths)
     val scores = vertices
-      .join(hubs, Seq("vertex"), "left")
-      .join(auths, Seq("vertex"), "left")
+      .join(hFinal, Seq("vertex"), "left")
+      .join(aFinal, Seq("vertex"), "left")
       .select(col("vertex"),
         coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("authority"), lit(0.0)).as("authority"))

@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   *   jaccard(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
   *                = common / (deg(a) + deg(b) − common)
   *
-  * Common-neighbor counts come from one wedge join (bi ⋈ bi on the middle
-  * vertex) semi-restricted to existing edges, so the work is the same
-  * O(Σ deg²)-bounded shape as triangle counting; degrees are one
-  * partial-aggregated shuffle. All equi-joins, AQE free to pick physical
-  * strategies.
+  * A common neighbor c of the ADJACENT pair (a,b) closes a triangle, so
+  * common(a,b) = number of triangles containing edge (a,b). Counts therefore
+  * come from [[TriangleCount.triangles]]'s degree-oriented wedge join, which
+  * bounds every middle vertex's out-degree by O(√m) — total work O(m^1.5)
+  * regardless of skew. (A naive wedge join on the raw middle vertex emits
+  * deg(c)² pairs per hub: a degree-10⁶ vertex would produce 10¹² rows in one
+  * task.) Degrees are one partial-aggregated shuffle; all equi-joins, AQE
+  * free to pick physical strategies.
   */
 object VertexSimilarity {
 
@@ -30,10 +33,14 @@ object VertexSimilarity {
 
     val deg = bi.groupBy(col("u")).agg(count(lit(1)).as("d"))
 
-    // length-2 paths a–c–b with a<b, collapsed per (a,b)
-    val l = bi.select(col("v").as("c"), col("u").as("a"))
-    val r = bi.select(col("v").as("c"), col("u").as("b"))
-    val common = l.join(r, "c").where(col("a") < col("b"))
+    // each (a<b<c) triangle contributes one common neighbor to each of its
+    // three edges
+    val tri = TriangleCount.triangles(spark, e.select(col("a").as("src"), col("b").as("dst")))
+    val common = tri.select(explode(array(
+        struct(col("a").as("a"), col("b").as("b")),
+        struct(col("a").as("a"), col("c").as("b")),
+        struct(col("b").as("a"), col("c").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
 
     e.join(common, Seq("a", "b"), "left")

@@ -116,8 +116,9 @@ object Similarity {
     * exactly what a production pipeline would materialize anyway. */
   private def bandedIds(df: DataFrame, idCol: String, vecCol: String,
                         nBits: Int, bands: Int, seed: Long): DataFrame = {
-    val sig = df.select(col(idCol), rhpSignature(col(vecCol), nBits, seed).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = graft.core.CacheRegistry.register(
+      df.select(col(idCol), rhpSignature(col(vecCol), nBits, seed).as("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     sig.select(col(idCol), explode(bandBuckets(col("sig"), nBits, bands)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
   }

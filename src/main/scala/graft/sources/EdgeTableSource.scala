@@ -73,15 +73,27 @@ object EdgeTableSource {
 
   /** S5 — objects-file scan: one-column header'd table; rank = line order
     * (decreasing representativeness; reference src/console.cpp:126-227).
-    * Line order is recovered deterministically and scalably from the file
-    * offset, not a single-partition window. */
+    *
+    * Line order must be exact, so this is one of the few genuinely forced
+    * RDD hops: `textFile` (TextInputFormat) generates splits per file in
+    * offset order with files in listing order, so `zipWithIndex` recovers
+    * the physical line number with full parallelism. A DataFrame file scan
+    * cannot — `FilePartition` packs splits by SIZE, so both a global
+    * `row_number` window (single-partition funnel) and
+    * `monotonically_increasing_id` (partition order ≠ file order) are wrong
+    * at scale. Multi-file directories are ordered by (path asc, offset). */
   def readObjects(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
-    val raw = spark.read.option("header", true).option("sep", sep).csv(path)
-    // monotonically_increasing_id is ordered within and across partitions of
-    // an in-order file scan; densified to 0..n-1 via row_number over it
-    raw.select(col(raw.columns(0)).as("object"), monotonically_increasing_id().as("_mid"))
-      .select(col("object"),
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("_mid"))) - lit(1))
-          .cast("long").as("rank"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = spark.sparkContext.textFile(path).zipWithIndex()
+      .filter { case (_, i) => i > 0L } // skip the header line
+      .map { case (line, i) =>
+        val cut = line.indexOf(sep)
+        val field = if (cut >= 0) line.substring(0, cut) else line
+        Row(field.stripSuffix("\r"), i - 1L)
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("object", StringType, nullable = false),
+      StructField("rank", LongType, nullable = false))))
   }
 }

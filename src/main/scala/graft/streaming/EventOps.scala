@@ -68,12 +68,16 @@ object EventOps {
     spark.table(queryName)
   }
 
-  /** Top-N users by event volume with rank (windowed analytic). */
+  /** Top-N users by event volume with rank. `orderBy.limit` compiles to
+    * TakeOrderedAndProject (per-partition top-n + merge of n·P rows — no
+    * global sort, no single-partition window); the dense rank is then
+    * stamped on the n surviving rows. */
   def topUsers(events: DataFrame, n: Int = 10): DataFrame = {
     val agg = events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("value_sum"))
-    agg.withColumn("rank", row_number().over(
-        Window.orderBy(col("n_events").desc, col("user_id").asc)))
-      .where(col("rank") <= n)
+    val top = agg.orderBy(col("n_events").desc, col("user_id").asc).limit(n)
+    graft.core.Ranking.withGlobalRank(top, "_rn", col("n_events").desc, col("user_id").asc)
+      .select(col("user_id"), col("n_events"), col("value_sum"),
+        (col("_rn") + lit(1L)).as("rank"))
   }
 }

@@ -10,16 +10,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[EventOps.sessions]], built on `flatMapGroupsWithState` with event-time
   * timeout — the engine's custom-state streaming primitive.
   *
-  * Semantics match the batch form: a session closes when the gap to the
-  * user's next event exceeds `gapMinutes`; a closed session emits
-  * (user_id, session_seq, session_start, session_end, n_events, value_sum).
-  * Sessions still open when the watermark passes (session end + gap) are
-  * flushed by the state timeout.
+  * Semantics match the batch form exactly: a session closes when the gap to
+  * the user's next event exceeds `gapMinutes`; a closed session emits
+  * (user_id, session_seq, session_start, session_end, n_events, value_sum);
+  * `session_seq` is 1-based and strictly monotone per user for the lifetime
+  * of the query — a timeout flush leaves a zero-event tombstone carrying the
+  * next sequence number, so a user returning after an idle gap can never
+  * re-emit an already-used (user_id, session_seq) key.
   *
-  * Scale shape: state is O(1) per active user (one open session), partitioned
-  * by user_id; each micro-batch shuffles only its own events once. Checkpoint
-  * the query for exactly-once resume — the state store carries the open
-  * sessions across restarts.
+  * Scale shape: state is O(1) per ever-seen user (one open session or one
+  * tombstone), partitioned by user_id; each micro-batch shuffles only its
+  * own events once. Checkpoint the query for exactly-once resume — the
+  * state store carries the open sessions across restarts.
   */
 object StreamingSessions {
 
@@ -43,16 +45,21 @@ object StreamingSessions {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, it, state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            // watermark passed (end + gap): flush the open session
+            // watermark passed (end + gap): flush the open session. Keep a
+            // zero-event tombstone holding the NEXT sequence number (no new
+            // timeout — it just waits for the user's return) instead of
+            // state.remove(), which would restart seq at 1.
             val s = state.get
-            state.remove()
+            state.update(OpenSession(s.sessionSeq + 1, s.endMs, s.endMs, 0L, 0.0))
             Iterator.single(SessionRow(userId, s.sessionSeq,
               new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEvents, s.valueSum))
           } else {
             // micro-batch iterators are unordered: sort by event time
             val evs = it.toVector.sortBy(_.ts.getTime)
-            var open = state.getOption
-            var seq = open.map(_.sessionSeq).getOrElse(0L)
+            // a tombstone (nEvents == 0) is not an open session, only a
+            // carried sequence counter
+            var open = state.getOption.filter(_.nEvents > 0L)
+            var seq = state.getOption.map(_.sessionSeq).getOrElse(1L)
             val out = Vector.newBuilder[SessionRow]
             evs.foreach { e =>
               val t = e.ts.getTime

@@ -48,7 +48,7 @@ class EventOpsSpec extends SparkTestBase {
   }
 
   test("top users ranking is deterministic") {
-    val got = EventOps.topUsers(ev, 2).collect().map(r => (r.getLong(0), r.getInt(3)))
-    assert(got.toSeq == Seq((1L, 1), (2L, 2)))
+    val got = EventOps.topUsers(ev, 2).collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 2L)))
   }
 }

@@ -40,10 +40,41 @@ class StreamingSessionsSpec extends SparkTestBase {
           r.session_end.getTime, r.n_events, r.value_sum)).toSet
       // u1's first session closes inside batch 1 (gap 40 min > 30);
       // u1's second and u2's only session are still open.
-      assert(closedInBatch == Set((1L, 0L, t0, t0 + 10 * MIN, 2L, 3.0)))
+      assert(closedInBatch == Set((1L, 1L, t0, t0 + 10 * MIN, 2L, 3.0)))
 
       // batch 2: far-future row advances the watermark -> timeouts fire
       Seq((99L, ts(t0 + 86400000L), 0.0)).toDF("user_id", "ts", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+
+      val afterFlush = spark.table("sess_test").as[StreamingSessions.SessionRow]
+        .collect().map(r => (r.user_id, r.session_seq, r.session_start.getTime,
+          r.session_end.getTime, r.n_events, r.value_sum)).toSet
+      assert(afterFlush == Set(
+        (1L, 1L, t0, t0 + 10 * MIN, 2L, 3.0),
+        (1L, 2L, t0 + 50 * MIN, t0 + 50 * MIN, 1L, 4.0),
+        (2L, 1L, t0 + 5 * MIN, t0 + 5 * MIN, 1L, 8.0)))
+      // u99's session is still open: not emitted
+
+      // cross-check against the batch sessionizer (same 1-based seq)
+      val batch = EventOps.sessions(
+          data1.toDF("user_id", "ts", "value").withColumn("event_id", lit(0L)))
+        .collect().map(r => (r.getLong(r.fieldIndex("user_id")),
+          r.getLong(r.fieldIndex("session_seq")),
+          r.getTimestamp(r.fieldIndex("session_start")).getTime,
+          r.getTimestamp(r.fieldIndex("session_end")).getTime,
+          r.getLong(r.fieldIndex("n_events")),
+          r.getDouble(r.fieldIndex("value_sum")))).toSet
+      assert(batch == afterFlush)
+
+      // batch 3: u1 RETURNS after its timeout flush — the tombstone must
+      // carry the sequence forward (seq 3), not restart at 1
+      val t1 = t0 + 86400000L + 10 * MIN
+      Seq((1L, ts(t1), 5.0)).toDF("user_id", "ts", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // batch 4: flush everything still open
+      Seq((98L, ts(t0 + 2 * 86400000L), 0.0)).toDF("user_id", "ts", "value")
         .repartition(1).write.mode("append").parquet(dir)
       q.processAllAvailable()
     } finally q.stop()
@@ -52,21 +83,11 @@ class StreamingSessionsSpec extends SparkTestBase {
       .collect().map(r => (r.user_id, r.session_seq, r.session_start.getTime,
         r.session_end.getTime, r.n_events, r.value_sum)).toSet
     assert(got == Set(
-      (1L, 0L, t0, t0 + 10 * MIN, 2L, 3.0),
-      (1L, 1L, t0 + 50 * MIN, t0 + 50 * MIN, 1L, 4.0),
-      (2L, 0L, t0 + 5 * MIN, t0 + 5 * MIN, 1L, 8.0)))
-    // u99's session is still open: not emitted
-
-    // cross-check against the batch sessionizer on the same closed users
-    // (batch session_seq is 1-based; streaming is 0-based)
-    val batch = EventOps.sessions(
-        data1.toDF("user_id", "ts", "value").withColumn("event_id", lit(0L)))
-      .collect().map(r => (r.getLong(r.fieldIndex("user_id")),
-        r.getLong(r.fieldIndex("session_seq")) - 1L,
-        r.getTimestamp(r.fieldIndex("session_start")).getTime,
-        r.getTimestamp(r.fieldIndex("session_end")).getTime,
-        r.getLong(r.fieldIndex("n_events")),
-        r.getDouble(r.fieldIndex("value_sum")))).toSet
-    assert(batch == got)
+      (1L, 1L, t0, t0 + 10 * MIN, 2L, 3.0),
+      (1L, 2L, t0 + 50 * MIN, t0 + 50 * MIN, 1L, 4.0),
+      (2L, 1L, t0 + 5 * MIN, t0 + 5 * MIN, 1L, 8.0),
+      (1L, 3L, t0 + 86400000L + 10 * MIN, t0 + 86400000L + 10 * MIN, 1L, 5.0),
+      (99L, 1L, t0 + 86400000L, t0 + 86400000L, 1L, 0.0)))
+    // u98's session is still open: not emitted
   }
 }
