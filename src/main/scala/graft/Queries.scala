@@ -142,17 +142,22 @@ object Queries {
   def qTrianglesPerVertex(spark: SparkSession, sfDir: String): DataFrame =
     TriangleCount.perVertex(spark, edges(spark, sfDir)).orderBy("vertex")
 
+  /** Catalog PageRank runs use a FIXED superstep count (tol = 0) so the
+    * DuckDB recursive-CTE oracle can replay the identical power iteration —
+    * the convergence-driven variant is exercised by GraphAlgoSpec and the
+    * Bench north-rule run. 6-dp rounding absorbs cross-engine float-sum
+    * reorder noise. */
   def qPageRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val r = PageRank.runUndirected(spark, edges(spark, sfDir), tol = 1e-6, maxIter = 30)
-    r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
+    val r = PageRank.runUndirected(spark, edges(spark, sfDir), tol = 0.0, maxIter = 8)
+    r.ranks.select(col("vertex"), round(col("rank"), 6).as("rank")).orderBy("vertex")
   }
 
   /** PageRank on the full (unthresholded) co-occurrence graph — the
     * north-rule headline job at its densest. */
   def qPageRankFull(spark: SparkSession, sfDir: String): DataFrame = {
     val r = PageRank.runUndirected(spark, edgesAll(spark, sfDir).select(col("src"), col("dst")),
-      tol = 1e-6, maxIter = 25)
-    r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
+      tol = 0.0, maxIter = 6)
+    r.ranks.select(col("vertex"), round(col("rank"), 6).as("rank")).orderBy("vertex")
   }
 
   def qLabelPropagation(spark: SparkSession, sfDir: String): DataFrame =
@@ -162,8 +167,8 @@ object Queries {
   def qPageRankWeighted(spark: SparkSession, sfDir: String): DataFrame = {
     val r = PageRank.runUndirected(spark,
       edges(spark, sfDir).select(col("src"), col("dst"), col("weight").cast("double")),
-      tol = 1e-6, maxIter = 30, weightCol = Some("weight"))
-    r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
+      tol = 0.0, maxIter = 8, weightCol = Some("weight"))
+    r.ranks.select(col("vertex"), round(col("rank"), 6).as("rank")).orderBy("vertex")
   }
 
   /** Neighborhood-Jaccard of adjacent pairs (link-prediction signal;
@@ -173,26 +178,27 @@ object Queries {
       .orderBy("a", "b")
 
   /** Personalized PageRank: random walk with restart to a fixed seed set
-    * (5 lowest part keys); rows-only, seeded oracle in GraphAlgoSpec. */
+    * (5 lowest canonical source keys); fixed supersteps, DuckDB-oracled. */
   def qPageRankPersonalized(spark: SparkSession, sfDir: String): DataFrame = {
     val e = edges(spark, sfDir)
     val bi = e.select(col("src"), col("dst"))
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     val seeds = e.select(col("src").as("vertex")).distinct().orderBy("vertex").limit(5)
-    val r = PageRank.runPersonalized(spark, bi, seeds, tol = 1e-6, maxIter = 30)
-    r.ranks.select(col("vertex"), round(col("rank"), 8).as("rank")).orderBy("vertex")
+    val r = PageRank.runPersonalized(spark, bi, seeds, tol = 0.0, maxIter = 8)
+    r.ranks.select(col("vertex"), round(col("rank"), 6).as("rank")).orderBy("vertex")
   }
 
   /** 3-core of the thresholded graph (iterative peeling). */
   def qKCore(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.KCore.coreVertices(spark, edges(spark, sfDir), k = 3).orderBy("vertex")
 
-  /** HITS hubs/authorities over the directed co-occurrence graph (rows-only;
-    * power-iteration oracle in HitsSpec). */
+  /** HITS hubs/authorities over the directed co-occurrence graph (fixed
+    * iterations; DuckDB recursive-CTE oracle iterates h via the co-citation
+    * matrix A·Aᵀ — same fixpoint path). */
   def qHits(spark: SparkSession, sfDir: String): DataFrame = {
-    val r = graft.graph.Hits.run(spark, edges(spark, sfDir), iterations = 15)
-    r.scores.select(col("vertex"), round(col("hub"), 8).as("hub"),
-      round(col("authority"), 8).as("authority")).orderBy("vertex")
+    val r = graft.graph.Hits.run(spark, edges(spark, sfDir), iterations = 8)
+    r.scores.select(col("vertex"), round(col("hub"), 6).as("hub"),
+      round(col("authority"), 6).as("authority")).orderBy("vertex")
   }
 
   /** Newman modularity of the connected-components partition (SQL-oracled:

@@ -84,17 +84,23 @@ object QueriesDoc {
       .orderBy("qid", "rank")
   }
 
+  /** LSH-bucketed ANN at the near-dup-grade operating point (64-bit
+    * signature, 8 bands of 8 bits — see Similarity.lshTopK's recall
+    * calculus). Candidates are a strict subset of q_ann_topk's; the testdata
+    * embeddings are near-orthogonal noise, so low-sim neighbors may be
+    * missed by design — LshRecallSpec proves ≥0.9 recall on planted
+    * near-duplicates. */
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = emb(spark, sfDir)
     val queries = emb(spark, sfDir).where(col("id") < 5).toDF("qid", "qvec")
-    Similarity.lshTopK(corpus, queries, k = 10, nBits = 16, bands = 8)
+    Similarity.lshTopK(corpus, queries, k = 10)
       .select(col("qid"), col("id"), col("rank").cast("long").as("rank"),
         round(col("sim"), 6).as("sim"))
       .orderBy("qid", "rank")
   }
 
   def qEmbedNearDup(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.nearDupPairs(emb(spark, sfDir), threshold = 0.35, nBits = 32, bands = 8)
+    Similarity.nearDupPairs(emb(spark, sfDir), threshold = 0.35)
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
       .orderBy("a", "b")
 

@@ -5,9 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every query has a DuckDB-runnable SQL twin in [[oracleSql]] unless the
-  * operator is not SQL-expressible (iterative float fixpoints like PageRank /
-  * label propagation get the driver's rows-only check and are instead
-  * verified against in-test Scala oracles, see src/test).
+  * operator is genuinely not SQL-expressible (hash-function-dependent
+  * sketches, sequential greedy clusterings, binary-stub media queries — those
+  * get the driver's rows-only check plus in-test Scala oracles, see src/test).
+  * The iterative graph family (PageRank variants, HITS, LPA, k-core) IS
+  * oracled: the catalog queries run a FIXED superstep count and the DuckDB
+  * twins replay the identical fixpoint path with recursive CTEs (aggregates
+  * and windows in the recursive term are legal in DuckDB), doubles rounded
+  * to 6 dp on both sides to absorb float-sum reorder noise.
   */
 object SparkEntry {
 
@@ -92,6 +97,24 @@ object SparkEntry {
         |    UNION
         |    SELECT bi.dst, r.lbl FROM r JOIN bi ON r.v = bi.src WHERE r.lbl < bi.dst
         |  ) SELECT v, min(lbl) AS component FROM r GROUP BY v)""".stripMargin
+
+  /** Undirected-unweighted PageRank power iteration over edge set `eName`
+    * (must be a CTE with (src, dst) canonical pairs): the exact update rule
+    * of graph/PageRank.scala with uniform teleport and no dangling vertices
+    * (the symmetrized graph has none). */
+  private def PR_SQL(eName: String, iters: Int): String =
+    s"""bi AS (SELECT src, dst FROM $eName UNION ALL SELECT dst, src FROM $eName),
+       |outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM bi GROUP BY src),
+       |links AS (SELECT bi.src, bi.dst, 1.0/od AS share FROM bi JOIN outdeg USING (src)),
+       |verts AS (SELECT DISTINCT src AS v FROM bi),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+       |pr(iter, v, r) AS (
+       |  SELECT 0, v, 1.0/(SELECT n FROM nn) FROM verts
+       |  UNION ALL
+       |  SELECT iter+1, dst, 0.15/(SELECT n FROM nn) + 0.85*sum(r*share)
+       |  FROM pr JOIN links ON pr.v = links.src
+       |  WHERE iter < $iters
+       |  GROUP BY iter, dst)""".stripMargin
 
   private val SHAPED =
     CC +
@@ -201,6 +224,109 @@ object SparkEntry {
          |JOIN deg da ON da.u = e.src
          |JOIN deg db ON db.u = e.dst
          |ORDER BY a, b""".stripMargin,
+
+    // ---- iterative graph family: recursive-CTE fixpoint replays ----------
+    "q_pagerank" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |${PR_SQL("e", 8)}
+         |SELECT v AS vertex, round(r, 6) AS rank FROM pr WHERE iter = 8 ORDER BY vertex""".stripMargin,
+
+    "q_pagerank_full" ->
+      s"""WITH RECURSIVE $EDGES_ALL,
+         |${PR_SQL("e_all", 6)}
+         |SELECT v AS vertex, round(r, 6) AS rank FROM pr WHERE iter = 6 ORDER BY vertex""".stripMargin,
+
+    "q_pagerank_weighted" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM e
+         |       UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM e),
+         |outw AS (SELECT src, sum(w) AS ow FROM bi GROUP BY src),
+         |links AS (SELECT bi.src, bi.dst, w/ow AS share FROM bi JOIN outw USING (src)),
+         |verts AS (SELECT DISTINCT src AS v FROM bi),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+         |pr(iter, v, r) AS (
+         |  SELECT 0, v, 1.0/(SELECT n FROM nn) FROM verts
+         |  UNION ALL
+         |  SELECT iter+1, dst, 0.15/(SELECT n FROM nn) + 0.85*sum(r*share)
+         |  FROM pr JOIN links ON pr.v = links.src WHERE iter < 8 GROUP BY iter, dst)
+         |SELECT v AS vertex, round(r, 6) AS rank FROM pr WHERE iter = 8 ORDER BY vertex""".stripMargin,
+
+    // personalized: teleport mass to the 5 lowest canonical source keys
+    "q_ppr" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od FROM bi GROUP BY src),
+         |links AS (SELECT bi.src, bi.dst, 1.0/od AS share FROM bi JOIN outdeg USING (src)),
+         |verts AS (SELECT DISTINCT src AS v FROM bi),
+         |seeds AS (SELECT DISTINCT src AS v FROM e ORDER BY src LIMIT 5),
+         |tele AS (SELECT verts.v, CASE WHEN seeds.v IS NULL THEN 0.0 ELSE 1.0/5 END AS t
+         |         FROM verts LEFT JOIN seeds ON verts.v = seeds.v),
+         |pr(iter, v, r) AS (
+         |  SELECT 0, v, CAST(t AS DOUBLE) FROM tele
+         |  UNION ALL
+         |  SELECT iter+1, dst, 0.15*any_value(tele.t) + 0.85*sum(r*share)
+         |  FROM pr JOIN links ON pr.v = links.src JOIN tele ON links.dst = tele.v
+         |  WHERE iter < 8 GROUP BY iter, dst)
+         |SELECT v AS vertex, round(r, 6) AS rank FROM pr WHERE iter = 8 ORDER BY vertex""".stripMargin,
+
+    // HITS: hub vector iterated through the co-citation matrix M = A·Aᵀ
+    // (normalization between half-steps cancels — same fixpoint path as
+    // graph/Hits.scala), authorities recovered from h at iter-1
+    "q_hits" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |m AS (SELECT e1.src AS u, e2.src AS w, CAST(count(*) AS DOUBLE) AS c
+         |      FROM e e1 JOIN e e2 ON e1.dst = e2.dst GROUP BY 1, 2),
+         |hh(iter, v, h) AS (
+         |  SELECT 0, v, CAST(1.0 AS DOUBLE) FROM verts
+         |  UNION ALL
+         |  SELECT iter+1, u, hr / sqrt(sum(hr*hr) OVER ()) FROM (
+         |    SELECT iter, m.u AS u, sum(c * h) AS hr
+         |    FROM hh JOIN m ON hh.v = m.w WHERE iter < 8 GROUP BY 1, 2)),
+         |hprev AS (SELECT v, h FROM hh WHERE iter = 7),
+         |hlast AS (SELECT v, h FROM hh WHERE iter = 8),
+         |araw AS (SELECT e.dst AS v, sum(hprev.h) AS a FROM e JOIN hprev ON e.src = hprev.v GROUP BY 1),
+         |an AS (SELECT sqrt(sum(a*a)) AS x FROM araw)
+         |SELECT verts.v AS vertex,
+         |  round(coalesce(hlast.h, 0.0), 6) AS hub,
+         |  round(coalesce(araw.a / (SELECT x FROM an), 0.0), 6) AS authority
+         |FROM verts LEFT JOIN hlast ON verts.v = hlast.v LEFT JOIN araw ON verts.v = araw.v
+         |ORDER BY vertex""".stripMargin,
+
+    // synchronous LPA, 10 supersteps, argmax (count desc, label asc); extra
+    // rounds past a fixpoint are no-ops, matching the Spark early-stop
+    "q_lpa" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi0 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |bi AS (SELECT DISTINCT src, dst FROM bi0),
+         |verts AS (SELECT DISTINCT src AS v FROM bi),
+         |lp(iter, v, lbl) AS (
+         |  SELECT 0, v, v FROM verts
+         |  UNION ALL
+         |  SELECT iter+1, v, lbl FROM (
+         |    SELECT iter, bi.dst AS v, lp.lbl AS lbl,
+         |           row_number() OVER (PARTITION BY iter, bi.dst
+         |             ORDER BY count(*) DESC, lp.lbl ASC) AS rn
+         |    FROM lp JOIN bi ON lp.v = bi.src WHERE iter < 10
+         |    GROUP BY iter, bi.dst, lp.lbl
+         |  ) WHERE rn = 1)
+         |SELECT v AS vertex, lbl AS label FROM lp WHERE iter = 10 ORDER BY vertex""".stripMargin,
+
+    // 3-core by degree peeling; 60 rounds is far beyond the peel depth, and
+    // rounds past the fixpoint are no-ops (matches KCore's stability stop)
+    "q_kcore" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |kc(iter, src, dst) AS (
+         |  SELECT 0, src, dst FROM bi
+         |  UNION ALL
+         |  SELECT iter+1, src, dst FROM (
+         |    SELECT iter, src, dst,
+         |      count(*) OVER (PARTITION BY iter, src) AS ds,
+         |      count(*) OVER (PARTITION BY iter, dst) AS dd
+         |    FROM kc WHERE iter < 60
+         |  ) WHERE ds >= 3 AND dd >= 3)
+         |SELECT DISTINCT src AS vertex FROM kc WHERE iter = 60 ORDER BY vertex""".stripMargin,
 
     "q_triangles" ->
       s"""WITH $EDGES_T2

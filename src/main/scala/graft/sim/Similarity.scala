@@ -124,12 +124,23 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: candidates share at least one signature band; rerank
-    * candidates with exact cosine, keep top-k per query. */
+    * candidates with exact cosine, keep top-k per query.
+    *
+    * Parameterization (r = nBits/bands bits per band): a pair with cosine s
+    * collides in one band with probability p^r where p = 1 − acos(s)/π, and
+    * overall with 1 − (1 − p^r)^bands. Defaults (64 bits, 8 bands of 8) give
+    * ≥ 0.93 recall at s ≥ 0.9 while a random pair (p ≈ 0.5) survives with
+    * ~3% — the near-dup-grade operating point. Low-similarity targets need
+    * more, shorter bands; never bands so wide that buckets have < 2^8
+    * distinct values (a 2-bit bucket admits ¼ of the corpus per band —
+    * LSH that filters nothing). `maxBucket` drops degenerate buckets so a
+    * hot bucket cannot quadratically explode a task. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nBits: Int = 16, bands: Int = 4, seed: Long = 42L,
+              nBits: Int = 64, bands: Int = 8, seed: Long = 42L,
+              maxBucket: Int = 10000,
               idCol: String = "id", vecCol: String = "vec",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val cs = bandedIds(corpus, idCol, vecCol, nBits, bands, seed)
+    val cs = capBuckets(bandedIds(corpus, idCol, vecCol, nBits, bands, seed), maxBucket)
     val qs = bandedIds(queries, qidCol, qvecCol, nBits, bands, seed)
 
     // dedup on ids before touching vectors again
@@ -146,12 +157,23 @@ object Similarity {
     topKPerGroup(scored, k, qidCol, idCol)
   }
 
+  /** Drop (band, bucket) groups larger than `maxBucket` — the skew guardrail
+    * (same as [[graft.dedup.Dedup.minhashPairs]]): without it one hot bucket
+    * makes the bucket self-join quadratic in a single task. The window is
+    * PARTITIONED by (band, bucket) — no global funnel. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.withColumn("_bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("_bn") <= maxBucket)
+      .drop("_bn")
+
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
-    * candidates restricted to shared LSH bands. */
-  def nearDupPairs(corpus: DataFrame, threshold: Double, nBits: Int = 16,
-                   bands: Int = 4, seed: Long = 42L,
+    * candidates restricted to shared LSH bands. Same (r, bands) recall
+    * calculus and `maxBucket` skew cap as [[lshTopK]]. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, nBits: Int = 64,
+                   bands: Int = 8, seed: Long = 42L, maxBucket: Int = 10000,
                    idCol: String = "id", vecCol: String = "vec"): DataFrame = {
-    val banded = bandedIds(corpus, idCol, vecCol, nBits, bands, seed)
+    val banded = capBuckets(bandedIds(corpus, idCol, vecCol, nBits, bands, seed), maxBucket)
 
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a"))
     val rt = banded.select(col("band"), col("bucket"), col(idCol).as("b"))

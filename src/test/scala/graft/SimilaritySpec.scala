@@ -39,18 +39,21 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
-  test("LSH top-k achieves high recall vs brute force on clustered data") {
+  test("LSH top-k recall >= 0.9 vs brute force at default (64-bit, 8x8) params") {
+    // intra-cluster cosine ≈ 0.95 here, i.e. near-dup grade: per the recall
+    // calculus in Similarity.lshTopK, 8 bands of 8 bits give ~0.99 expected
+    // recall while a random cross-cluster pair collides with ~3%
     val queries = vecs.take(10).toDF("qid", "qvec")
     val brute = Similarity.bruteForceTopK(corpus, queries, k = 10)
       .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val lsh = Similarity.lshTopK(corpus, queries, k = 10, nBits = 16, bands = 8)
+    val lsh = Similarity.lshTopK(corpus, queries, k = 10)
       .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val recalls = brute.keys.toSeq.map { q =>
       val l = lsh.getOrElse(q, Set.empty)
       l.intersect(brute(q)).size.toDouble / brute(q).size
     }
     val mean = recalls.sum / recalls.size
-    assert(mean >= 0.6, s"mean recall@10 = $mean (LSH with 8 bands of 2 bits should catch most cluster neighbors)")
+    assert(mean >= 0.9, s"mean recall@10 = $mean")
   }
 
   test("embedding near-dup pairs finds planted duplicates") {
@@ -59,5 +62,13 @@ class SimilaritySpec extends SparkTestBase {
     val pairs = Similarity.nearDupPairs(planted, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1000L)), s"got $pairs")
+  }
+
+  test("maxBucket cap drops degenerate buckets instead of exploding the join") {
+    val planted = corpus.unionByName(
+      Seq((1000L, vecs.head._2.map(v => v * 1.0001f))).toDF("id", "vec"))
+    // with the cap at 1 every bucket containing a colliding pair is dropped
+    val capped = Similarity.nearDupPairs(planted, threshold = 0.999, maxBucket = 1)
+    assert(capped.count() == 0L)
   }
 }
