@@ -201,6 +201,14 @@ object Queries {
       round(col("authority"), 6).as("authority")).orderBy("vertex")
   }
 
+  /** Louvain communities at clusty's default Leiden resolution (0.7,
+    * reference src/leiden.h:19-24); labels are deterministic level-0 vertex
+    * ids. Rows-only driver check; exact-recovery and modularity-vs-LPA
+    * oracles live in LouvainSpec. */
+  def qLouvain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Louvain.run(spark, edges(spark, sfDir), resolution = 0.7)
+      .assignment.orderBy("vertex")
+
   /** Newman modularity of the connected-components partition (SQL-oracled:
     * DuckDB recomputes Q from the same recursive-CTE components). */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame =

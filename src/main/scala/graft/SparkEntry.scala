@@ -44,6 +44,7 @@ object SparkEntry {
     "q_ppr"              -> (Queries.qPageRankPersonalized _),
     "q_vertex_jaccard"   -> (Queries.qVertexJaccard _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
+    "q_louvain"          -> (Queries.qLouvain _),
     // greedy clusterings (clusty C2-C5; sequential-per-component, no SQL twin)
     "q_setcover"         -> (Queries.qSetCover _),
     "q_cdhit"            -> (Queries.qCdHit _),

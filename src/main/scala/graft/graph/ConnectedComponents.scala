@@ -50,7 +50,7 @@ object ConnectedComponents {
       val ss = smallStar(ls)
       // Lazy checkpoint: the checksum aggregate below is a full scan, so it
       // materializes every partition — one Spark job per round, not two.
-      val next = ss.localCheckpoint(false)
+      val next = graft.core.Superstep.checkpoint(ss)
       val cs = checksum(next)
       converged = cs == prev
       prev = cs

@@ -47,12 +47,12 @@ object Hits {
       val aRaw = e.join(hubs, e("src") === hubs("vertex"))
         .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
         .select(col("dst").as("vertex"), col("a"))
-        .localCheckpoint(false)
+        .transform(graft.core.Superstep.checkpoint(_))
       // hub sums from the unnormalized authority sums (scale cancels)
       val hRaw = e.join(aRaw, e("dst") === aRaw("vertex"))
         .groupBy(col("src")).agg(sum(col("a")).as("h"))
         .select(col("src").as("vertex"), col("h"))
-        .localCheckpoint(false)
+        .transform(graft.core.Superstep.checkpoint(_))
 
       // one job: materializes both checkpointed states, returns both norms
       val row = aRaw.select(col("a").as("x"), lit(true).as("isA"))

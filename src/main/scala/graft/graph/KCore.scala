@@ -38,7 +38,7 @@ object KCore {
         .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint(false) // materialized by the count below
+        .transform(graft.core.Superstep.checkpoint(_)) // materialized by the count below
       val n2 = next.count()
       stable = n2 == nEdges
       nEdges = n2

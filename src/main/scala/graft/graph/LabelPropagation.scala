@@ -55,7 +55,7 @@ object LabelPropagation {
           max_by(col("label"), struct(col("n"), -col("label"))).as("label"),
           max(when(col("n") === 0L, col("label"))).as("old_label"))
         .select(col("dst").as("vertex"), col("label"), col("old_label"))
-        .localCheckpoint(false) // materialized by the stability aggregate
+        .transform(graft.core.Superstep.checkpoint(_)) // materialized by the stability aggregate
 
       val changed = newLabels
         .agg(count(when(col("label") =!= col("old_label"), lit(1))).as("c"))

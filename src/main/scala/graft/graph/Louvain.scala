@@ -1,0 +1,158 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed Louvain community detection with a resolution parameter — the
+  * engine's counterpart of clusty's Leiden algorithm (reference
+  * src/leiden.h:19-24 exposes resolution/beta/iterations; the reference
+  * delegates the algorithm itself to igraph and ships without it by default,
+  * src/leiden.h:36-50). Deterministic substitute for Leiden's randomized
+  * refinement (`beta` has no counterpart here): synchronous vertex-parallel
+  * move passes with parity damping, then graph coarsening, repeated per
+  * level — the standard distributed-Louvain shape (one aggregation +
+  * bounded joins per pass, every stage partitioned by vertex/community key,
+  * no driver-side data plane).
+  *
+  * Move rule per pass: vertex v moves to the neighboring community c
+  * maximizing the resolution-scaled modularity gain
+  *
+  *   score(v→c) = k_{v→c} − γ·k_v·(Σtot_c − [c = comm(v)]·k_v) / (2m)
+  *
+  * (argmax ties broken toward the smaller community id; a move happens only
+  * on STRICT improvement over staying). Synchronous simultaneous moves can
+  * oscillate (two vertices swapping communities forever), so each pass only
+  * permits moves for vertices with `vertex % 2 == pass % 2` — the classic
+  * parity-damping trick, deterministic under any partitioning.
+  *
+  * Per level, passes stop when a full even+odd round moves nothing; the
+  * level's partition is then contracted (communities → super-vertices,
+  * intra-community mass → self-loops) and the next level runs on the coarse
+  * graph. Labels compose back to original vertices by joining the per-level
+  * mappings (each O(V), shrinking geometrically).
+  */
+object Louvain {
+
+  final case class Result(assignment: DataFrame, levels: Int)
+
+  /** @param edges (src, dst[, weight]) undirected, any orientation;
+    *              self-loops ignored at level 0.
+    * @param resolution γ — larger values yield more, smaller communities
+    *                   (γ = 1 is classic modularity; clusty's Leiden default
+    *                   is 0.7).
+    * @param maxPasses  move passes per level (each pass = one superstep).
+    * @param maxLevels  coarsening levels.
+    * @return (vertex: Long, community: Long); community ids are level-0
+    *         vertex ids (deterministic, not dense — renumber downstream). */
+  def run(spark: SparkSession, edges: DataFrame, resolution: Double = 1.0,
+          maxPasses: Int = 10, maxLevels: Int = 3,
+          weightCol: Option[String] = None): Result = {
+    // canonical weighted undirected edges; parallel edges sum
+    val w0 = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    var g = edges.select(col("src").cast("long"), col("dst").cast("long"), w0.as("w"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .withColumn("self", lit(0.0)) // self-loop mass appears on coarse levels
+      .transform(graft.core.Superstep.checkpoint(_, eager = true))
+
+    // mapping from original vertices to current-level vertices
+    var mapping = g.select(col("a").as("vertex")).union(g.select(col("b").as("vertex")))
+      .distinct().select(col("vertex"), col("vertex").as("cur"))
+      .transform(graft.core.Superstep.checkpoint(_, eager = true))
+
+    var level = 0
+    var improvedAtLevel = true
+    while (improvedAtLevel && level < maxLevels) {
+      val (comm, moved) = movePhase(spark, g, resolution, maxPasses)
+      improvedAtLevel = moved
+      if (moved) {
+        mapping = mapping.join(comm, mapping("cur") === comm("vertex"))
+          .select(mapping("vertex"), col("comm").as("cur"))
+          .transform(graft.core.Superstep.checkpoint(_, eager = true))
+        // contract: communities become vertices; intra-community edge mass
+        // becomes self-loop weight (counted once, contributing 2w to degree)
+        val ce = g
+          .join(comm.select(col("vertex").as("a"), col("comm").as("ca")), "a")
+          .join(comm.select(col("vertex").as("b"), col("comm").as("cb")), "b")
+          .select(least(col("ca"), col("cb")).as("a"), greatest(col("ca"), col("cb")).as("b"),
+            col("w"), (col("self") + when(col("ca") === col("cb"), col("w")).otherwise(0.0)).as("selfw"))
+        g = ce.groupBy(col("a"), col("b"))
+          .agg(sum(when(col("a") =!= col("b"), col("w")).otherwise(0.0)).as("w"),
+            sum(col("selfw")).as("self"))
+          // keep a row even for pure self-loop super-vertices (a == b)
+          .transform(graft.core.Superstep.checkpoint(_, eager = true))
+        level += 1
+      }
+    }
+    Result(mapping.select(col("vertex"), col("cur").as("community")), level)
+  }
+
+  /** One level's move passes. Returns (vertex, comm) and whether any vertex
+    * moved at this level. */
+  private def movePhase(spark: SparkSession, g: DataFrame, resolution: Double,
+                        maxPasses: Int): (DataFrame, Boolean) = {
+    // bi-directed view for per-vertex neighbor scans (self-loops excluded
+    // from neighbor mass, included in degree)
+    val bi = g.where(col("a") =!= col("b"))
+      .select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(g.where(col("a") =!= col("b"))
+        .select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint(true)
+    val selfs = g.groupBy(col("a").as("u")).agg(sum(col("self")).as("sw"))
+
+    // k_v = incident edge mass (+2·self-loop); 2m = Σ k_v
+    val kv = bi.groupBy(col("u")).agg(sum(col("w")).as("kin"))
+      .join(selfs, Seq("u"), "left")
+      .select(col("u").as("vertex"), (col("kin") + lit(2.0) * coalesce(col("sw"), lit(0.0))).as("k"))
+      .unionByName(
+        // isolated super-vertices (only a self-loop) still carry degree
+        selfs.join(bi.select(col("u")).distinct(), Seq("u"), "left_anti")
+          .select(col("u").as("vertex"), (lit(2.0) * col("sw")).as("k")))
+      .localCheckpoint(true)
+    val m2 = kv.agg(coalesce(sum(col("k")), lit(0.0))).head().getDouble(0) // = 2m
+    if (m2 == 0.0) return (kv.select(col("vertex"), col("vertex").as("comm")), false)
+
+    var comm = kv.select(col("vertex"), col("vertex").as("comm")).localCheckpoint(true)
+    var pass = 0
+    var anyMove = false
+    var idleStreak = 0
+    while (pass < maxPasses && idleStreak < 2) {
+      // Σtot per community
+      val tot = comm.join(kv, "vertex").groupBy(col("comm")).agg(sum(col("k")).as("tot"))
+      // k_{v→c}: neighbor mass of v into community c
+      val kvc = bi.join(comm.select(col("vertex").as("v"), col("comm").as("c")), "v")
+        .groupBy(col("u"), col("c")).agg(sum(col("w")).as("kc"))
+      // candidate set = neighbor communities ∪ current community (carrier)
+      val cand = kvc.unionByName(
+          comm.select(col("vertex").as("u"), col("comm").as("c"), lit(0.0).as("kc")))
+        .groupBy(col("u"), col("c")).agg(sum(col("kc")).as("kc"))
+        .join(tot.select(col("comm").as("c"), col("tot")), "c")
+        .join(comm.select(col("vertex").as("u"), col("comm").as("cur")), "u")
+        .join(kv.select(col("vertex").as("u"), col("k")), "u")
+        .select(col("u"), col("c"), col("cur"), col("k"),
+          (col("kc") - lit(resolution) * col("k") *
+            (col("tot") - when(col("c") === col("cur"), col("k")).otherwise(0.0)) / lit(m2))
+            .as("score"))
+      val parity = pass % 2
+      val next = cand.groupBy(col("u")).agg(
+          max_by(col("c"), struct(col("score"), -col("c"))).as("best"),
+          max(col("score")).as("best_score"), // == score(best): argmax is score-first
+          max(when(col("c") === col("cur"), col("score"))).as("stay_score"),
+          first(col("cur")).as("cur"))
+        .select(col("u").as("vertex"),
+          when(col("u") % 2 === lit(parity) && col("best_score") > col("stay_score"),
+            col("best")).otherwise(col("cur")).as("comm"),
+          col("cur").as("old_comm"))
+      val nextCk = graft.core.Superstep.checkpoint(next) // materialized by the move-count aggregate
+      val moves = nextCk.agg(count(when(col("comm") =!= col("old_comm"), lit(1))))
+        .head().getLong(0)
+      comm = nextCk.select(col("vertex"), col("comm"))
+      anyMove ||= moves > 0
+      idleStreak = if (moves == 0) idleStreak + 1 else 0
+      pass += 1
+    }
+    (comm, anyMove)
+  }
+}

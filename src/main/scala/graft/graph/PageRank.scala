@@ -147,7 +147,7 @@ object PageRank {
           col("old_rank"))
       val next = ckpt match {
         case Some(c) => c.write(it, next0) // durable superstep barrier
-        case None    => next0.localCheckpoint(false) // materialized by the agg
+        case None    => graft.core.Superstep.checkpoint(next0) // materialized by the agg
       }
 
       val row = next.agg(

@@ -1,0 +1,76 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.{LabelPropagation, Louvain, Modularity}
+
+/** Louvain community detection: exact recovery on planted cliques, strict
+  * modularity competitiveness vs LPA, and the resolution knob's granularity
+  * semantics (clusty exposes the same parameter for Leiden,
+  * reference src/leiden.h:19-24). */
+class LouvainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def modOf(edges: Seq[(Long, Long)], labels: org.apache.spark.sql.DataFrame): Double =
+    Modularity.of(spark, edges.toDF("src", "dst"), labels)
+      .head().getDouble(0)
+
+  test("recovers planted cliques joined by single bridges") {
+    // three 5-cliques, one bridge edge between consecutive cliques
+    val cliques = (0 until 3).map { c =>
+      val ids = (0 until 5).map(i => (c * 5 + i).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }
+    val bridges = Seq((4L, 5L), (9L, 10L))
+    val edges = (cliques.flatten ++ bridges).toDF("src", "dst")
+
+    val got = Louvain.run(spark, edges, resolution = 1.0).assignment
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = got.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups == Set(
+      (0L to 4L).toSet, (5L to 9L).toSet, (10L to 14L).toSet), s"got $groups")
+  }
+
+  test("modularity >= LPA's on a seeded clustered graph") {
+    val rnd = new Random(11)
+    // 6 communities of 20 vertices: dense inside (p=0.4), sparse across (p=0.01)
+    val n = 120
+    val edges = (for {
+      a <- 0 until n; b <- a + 1 until n
+      p = if (a / 20 == b / 20) 0.4 else 0.01
+      if rnd.nextDouble() < p
+    } yield (a.toLong, b.toLong)).toSeq
+    val df = edges.toDF("src", "dst")
+
+    val louvain = Louvain.run(spark, df, resolution = 1.0).assignment
+      .select(col("vertex"), col("community").as("label"))
+    val lpa = LabelPropagation.run(spark, df, iterations = 10)
+
+    val qLouvain = modOf(edges, louvain)
+    val qLpa = modOf(edges, lpa)
+    assert(qLouvain >= qLpa, s"louvain Q=$qLouvain < lpa Q=$qLpa")
+    assert(qLouvain > 0.5, s"louvain Q=$qLouvain should find the planted structure")
+  }
+
+  test("higher resolution yields finer partitions") {
+    // ring of 6 small cliques, weakly linked: low gamma merges neighbors,
+    // high gamma keeps each clique separate
+    val cliques = (0 until 6).flatMap { c =>
+      val ids = (0 until 4).map(i => (c * 4 + i).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }
+    val ring = (0 until 6).map(c => ((c * 4 + 3).toLong, (((c + 1) % 6) * 4).toLong))
+    val df = (cliques ++ ring).toDF("src", "dst")
+
+    def nCommunities(res: Double): Long =
+      Louvain.run(spark, df, resolution = res).assignment
+        .select(col("community")).distinct().count()
+
+    val coarse = nCommunities(0.1)
+    val fine = nCommunities(2.0)
+    assert(fine >= 6, s"gamma=2 should keep the 6 cliques apart, got $fine")
+    assert(coarse < fine, s"gamma=0.1 ($coarse) should be coarser than gamma=2 ($fine)")
+  }
+}
