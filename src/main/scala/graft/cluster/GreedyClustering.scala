@@ -145,40 +145,65 @@ object GreedyClustering {
     }.toDF("vertex", "cluster")
   }
 
+  /** Heap-based agglomeration (complexity counterpart of the reference's
+    * linkage heap, src/linkage_heaptrix.h:62-672, semantics unchanged):
+    * closest-pair selection is a lazy-deletion min-heap pop — an entry is
+    * valid iff both endpoints are still active and it carries the CURRENT
+    * distance — and each merge touches only the two clusters' neighbor
+    * sets, not the whole distance map. O((E + merges·deg) log E) total vs
+    * the naive O(E) rescan per merge (O(E·V) per component), which the
+    * round-1 review flagged as the scale ceiling for 10⁵-edge components.
+    * Entries above `threshold` never enter the heap but stay in the
+    * distance/neighbor maps: they cannot be merged, yet they DO count for
+    * the connected-to-BOTH survival rule — exactly the old semantics. */
   private[cluster] def completeLinkageSequential(
       dist: mutable.Map[(Long, Long), Double],
       members: mutable.Map[Long, List[Long]],
       threshold: Double): Seq[(Long, Long)] = {
+    def key(a: Long, b: Long): (Long, Long) = if (a < b) (a, b) else (b, a)
     val active = mutable.Set.empty[Long] ++ members.keys
+    val nbr = mutable.Map.empty[Long, mutable.Set[Long]]
+    dist.keys.foreach { case (a, b) =>
+      nbr.getOrElseUpdate(a, mutable.Set.empty) += b
+      nbr.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    // min-heap on (w, a, b) — the same deterministic tie-break as a full scan
+    val heap = mutable.PriorityQueue.empty[(Double, Long, Long)](
+      Ordering.Tuple3[Double, Long, Long].reverse)
+    dist.foreach { case ((a, b), w) => if (w <= threshold) heap.enqueue((w, a, b)) }
+
     var continue = true
     while (continue && active.size > 1) {
-      // closest pair among finite entries (deterministic tie-break on key)
-      val best = dist.iterator.filter { case ((a, b), w) =>
-        active(a) && active(b) && w <= threshold }
-        .reduceOption(Ordering.by[((Long, Long), Double), (Double, Long, Long)] {
-          case (k, w) => (w, k._1, k._2) }.min(_, _))
-      if (best.isEmpty) continue = false
-      else {
-        val ((a, b), _) = best.get
-        // merge b into a: new distances = max; neighbor must be connected to BOTH
-        val keep = math.min(a, b); val drop = math.max(a, b)
-        active -= drop
-        members(keep) = members(keep) ++ members(drop)
-        members.remove(drop)
-        active.foreach { c =>
-          if (c != keep) {
-            val k1 = if (keep < c) (keep, c) else (c, keep)
-            val k2 = if (drop < c) (drop, c) else (c, drop)
-            (dist.get(k1), dist.get(k2)) match {
-              case (Some(w1), Some(w2)) => dist(k1) = math.max(w1, w2)
-              case (Some(_), None) => dist.remove(k1) // not connected to both
-              case (None, Some(_)) => ()              // stays disconnected
-              case _ => ()
-            }
-            dist.remove(k2)
+      // pop stale entries (endpoint merged away, or distance since updated)
+      var top: Option[(Double, Long, Long)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val (w, a, b) = heap.dequeue()
+        if (active(a) && active(b) && dist.get((a, b)).contains(w)) top = Some((w, a, b))
+      }
+      top match {
+        case None => continue = false
+        case Some((_, a, b)) =>
+          // merge b into a: new distances = max; neighbor must be connected to BOTH
+          val keep = math.min(a, b); val drop = math.max(a, b)
+          active -= drop
+          members(keep) = members(keep) ++ members(drop)
+          members.remove(drop)
+          val nk = nbr.getOrElse(keep, mutable.Set.empty[Long]) - drop
+          val nd = nbr.getOrElse(drop, mutable.Set.empty[Long]) - keep
+          val common = nk & nd
+          (nk diff common).foreach { c => dist.remove(key(keep, c)); nbr(c) -= keep }
+          (nd diff common).foreach { c => dist.remove(key(drop, c)); nbr(c) -= drop }
+          common.foreach { c =>
+            val kKeep = key(keep, c)
+            val w = math.max(dist(kKeep), dist(key(drop, c)))
+            dist(kKeep) = w
+            dist.remove(key(drop, c))
+            nbr(c) -= drop
+            if (w <= threshold) heap.enqueue((w, kKeep._1, kKeep._2))
           }
-        }
-        dist.remove(if (keep < drop) (keep, drop) else (drop, keep))
+          dist.remove(key(keep, drop))
+          nbr(keep) = common.to(mutable.Set)
+          nbr.remove(drop)
       }
     }
     members.toSeq.flatMap { case (c, ms) =>

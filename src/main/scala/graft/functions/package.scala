@@ -14,10 +14,16 @@ package object functions {
   def extract_hrefs(html: Column): Column =
     GraftShim.column(ExtractHrefs(GraftShim.expression(html)))
 
+  /** RFC-3986 href resolution + URL normalization (codegen); null for
+    * non-http(s)/fragment-only/malformed links. */
+  def resolve_url(base: Column, href: Column): Column =
+    GraftShim.column(ResolveUrl(GraftShim.expression(base), GraftShim.expression(href)))
+
   /** Register the native expressions as SQL functions on a live session
     * (alternative to spark.sql.extensions=graft.plans.GraftExtensions). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftShim.registerFunction(spark, "simhash64", es => SimHash64(es.head))
     GraftShim.registerFunction(spark, "extract_hrefs", es => ExtractHrefs(es.head))
+    GraftShim.registerFunction(spark, "resolve_url", es => ResolveUrl(es(0), es(1)))
   }
 }

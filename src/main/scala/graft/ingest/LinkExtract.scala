@@ -25,21 +25,33 @@ object LinkExtract {
   def hrefs(html: Array[Byte]): Seq[String] =
     Href.findAllMatchIn(new String(html, StandardCharsets.UTF_8)).map(_.group(1)).toSeq
 
-  /** (src_url, dst_url) one row per anchor occurrence.
+  /** (src_url, dst_url) one row per anchor occurrence, hrefs RESOLVED
+    * against the page url and normalized (real-web HTML is mostly relative
+    * links — raw hrefs would be a silently wrong edge table); non-http(s),
+    * fragment-only and malformed links are dropped.
     *
-    * Uses the native codegen expression [[graft.functions.ExtractHrefs]]:
-    * the scan projects only (url, html), extraction + explode stay inside
-    * whole-stage codegen, and no Page encoder round-trip happens. The typed
-    * flatMap form is kept as [[linkPairsTyped]] for cross-validation. */
+    * Uses the native codegen expressions [[graft.functions.ExtractHrefs]] and
+    * [[graft.functions.ResolveUrl]]: the scan projects only (url, html) and
+    * extraction + resolution + explode stay inside whole-stage codegen with
+    * no Page encoder round-trip. The typed flatMap form is kept as
+    * [[linkPairsTyped]] for cross-validation. */
   def linkPairs(pages: Dataset[Page]): DataFrame =
     pages.toDF()
       .select(col("url").as("src"),
-        explode(graft.functions.extract_hrefs(col("html"))).as("dst"))
+        explode(graft.functions.extract_hrefs(col("html"))).as("raw"))
+      .select(col("src"),
+        graft.functions.resolve_url(col("src"), col("raw")).as("dst"))
+      .where(col("dst").isNotNull)
 
   /** Typed-flatMap extractor (same output as [[linkPairs]]; spec oracle). */
   def linkPairsTyped(pages: Dataset[Page]): DataFrame = {
     import pages.sparkSession.implicits._
-    pages.flatMap(p => hrefs(p.html).map(h => (p.url, h))).toDF("src", "dst")
+    pages.flatMap { p =>
+      hrefs(p.html).iterator
+        .map(h => graft.functions.UrlKernel.resolveStr(p.url, h))
+        .filter(_ != null)
+        .map(d => (p.url, d))
+    }.toDF("src", "dst")
   }
 
   /** Edge table with multiplicity weight; self-links dropped (P3). */

@@ -85,14 +85,36 @@ object PageSynth {
     new Timestamp(epoch2024 + java.lang.Math.floorMod(mix(seed ^ mix(i * 7 + 29)), 365L * 86400L) * 1000L)
   }
 
+  /** href form of the link i→t: real crawl HTML mixes absolute, protocol-
+    * relative, root-relative, dot-relative and fragment-suffixed links
+    * (relative forms only when the target shares the page's host), plus
+    * non-link anchors (mailto:/javascript:) that ingest must drop. All
+    * forms resolve back to exactly `url(t)` — the generator's edge list
+    * stays the ground truth. */
+  def hrefForm(seed: Long, i: Long, t: Long): String = {
+    val sameHost = i % 997 == t % 997
+    val form = java.lang.Math.floorMod(mix(seed ^ mix(i) ^ mix(t + 3)), 5L).toInt
+    form match {
+      case 1 => "//" + s"host-${t % 997}.example/p/$t"       // protocol-relative
+      case 2 if sameHost => s"/p/$t"                          // root-relative
+      case 3 if sameHost => s"../p/$t"                        // dot-relative vs /p/<i>
+      case 4 => url(t) + s"#frag$i"                           // fragment stripped
+      case _ => url(t)                                        // absolute
+    }
+  }
+
   def html(seed: Long, i: Long, n: Long): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("<html><head><title>p").append(i).append("</title></head><body><p>")
     sb.append(text(seed, i))
     sb.append("</p>")
     targets(seed, i, n).foreach { t =>
-      sb.append("<a href=\"").append(url(t)).append("\">t").append(t).append("</a>")
+      sb.append("<a href=\"").append(hrefForm(seed, i, t)).append("\">t").append(t).append("</a>")
     }
+    // non-link anchors: must be dropped by resolution, never reach the graph
+    sb.append("<a href=\"mailto:admin@host-").append(i % 997).append(".example\">m</a>")
+    sb.append("<a href=\"javascript:void(0)\">j</a>")
+    sb.append("<a href=\"#top\">top</a>")
     sb.append("</body></html>")
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
