@@ -117,6 +117,60 @@ object SparkEntry {
        |  WHERE iter < $iters
        |  GROUP BY iter, dst)""".stripMargin
 
+  /** Shared scaffolding for the greedy-cover oracles. The sequential greedy
+    * covers have a closed form: visiting vertices in a static total order,
+    * the seed set is exactly the greedy (lexicographically-first) maximal
+    * independent set under that order, and every non-seed is captured by its
+    * earliest-visited seed neighbor. The MIS is computed as a bounded
+    * fixpoint (a vertex becomes seed once all smaller-order neighbors are
+    * decided non-seed; measured depth on this data is 7–9 rounds, 25 gives
+    * 3x margin and extra rounds are no-ops at the fixpoint). */
+  private val GREEDY_BI =
+    """bi0 AS (SELECT src AS u, dst AS v, CAST(1.0 AS DOUBLE)/CAST(weight AS DOUBLE) AS w FROM e
+      |        UNION ALL SELECT dst, src, CAST(1.0 AS DOUBLE)/CAST(weight AS DOUBLE) FROM e),
+      |bi AS (SELECT u, v, min(w) AS w FROM bi0 GROUP BY u, v)""".stripMargin
+
+  private def GREEDY_MIS(rounds: Int): String =
+    s"""st(iter, v, status) AS (
+       |  SELECT 0, v, 0 FROM ord
+       |  UNION ALL
+       |  SELECT a.iter+1, a.v,
+       |    CASE WHEN a.status <> 0 THEN a.status
+       |         WHEN coalesce(max(CASE WHEN b.status = 1 THEN 1 ELSE 0 END), 0) = 1 THEN 2
+       |         WHEN min(CASE WHEN b.v IS NULL THEN 1 WHEN b.status = 2 THEN 1 ELSE 0 END) = 1 THEN 1
+       |         ELSE 0 END
+       |  FROM st a
+       |  JOIN ord oa ON oa.v = a.v
+       |  LEFT JOIN (SELECT bi.u AS nu, bi.v AS nv, ob.pos AS npos
+       |             FROM bi JOIN ord ob ON ob.v = bi.v) nb
+       |    ON nb.nu = a.v AND nb.npos < oa.pos
+       |  LEFT JOIN st b ON b.v = nb.nv AND b.iter = a.iter
+       |  WHERE a.iter < $rounds
+       |  GROUP BY a.iter, a.v, a.status),
+       |seeds AS (SELECT v FROM st WHERE iter = $rounds AND status = 1)""".stripMargin
+
+  /** cover variants (cd-hit / set-cover): non-seed joins its earliest-
+    * visited (min order position) seed neighbor. */
+  private def GREEDY_COVER_SQL(ordSql: String): String =
+    s"""WITH RECURSIVE $EDGES_T2,
+       |$GREEDY_BI,
+       |$ordSql,
+       |${GREEDY_MIS(25)},
+       |nonseed AS (
+       |  SELECT vertex, cluster FROM (
+       |    SELECT bi.u AS vertex, bi.v AS cluster,
+       |      row_number() OVER (PARTITION BY bi.u ORDER BY onb.pos ASC) AS rn
+       |    FROM bi JOIN seeds sd ON sd.v = bi.v JOIN ord onb ON onb.v = bi.v
+       |    WHERE bi.u NOT IN (SELECT v FROM seeds))
+       |  WHERE rn = 1)
+       |SELECT vertex, cluster FROM nonseed
+       |UNION ALL SELECT v, v FROM seeds ORDER BY vertex""".stripMargin
+
+  private val ORD_RANK = "ord AS (SELECT DISTINCT u AS v, u AS pos FROM bi)"
+  private val ORD_DEGREE =
+    """deg AS (SELECT u, count(*) AS d FROM bi GROUP BY u),
+      |ord AS (SELECT u AS v, CAST(row_number() OVER (ORDER BY d DESC, u ASC) AS BIGINT) AS pos FROM deg)""".stripMargin
+
   private val SHAPED =
     CC +
       """,
@@ -225,6 +279,28 @@ object SparkEntry {
          |JOIN deg da ON da.u = e.src
          |JOIN deg db ON db.u = e.dst
          |ORDER BY a, b""".stripMargin,
+
+    // ---- greedy covers: MIS closed form (see GREEDY_MIS scaladoc) --------
+    "q_cdhit" -> GREEDY_COVER_SQL(ORD_RANK),
+    "q_setcover" -> GREEDY_COVER_SQL(ORD_DEGREE),
+
+    // uclust: same seed set as cd-hit; a non-seed joins the closest
+    // (min distance, then min id) seed neighbor VISITED BEFORE it
+    "q_uclust" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |$GREEDY_BI,
+         |$ORD_RANK,
+         |${GREEDY_MIS(25)},
+         |nonseed AS (
+         |  SELECT vertex, cluster FROM (
+         |    SELECT bi.u AS vertex, bi.v AS cluster,
+         |      row_number() OVER (PARTITION BY bi.u ORDER BY bi.w ASC, bi.v ASC) AS rn
+         |    FROM bi JOIN seeds sd ON sd.v = bi.v
+         |    JOIN ord ov ON ov.v = bi.u JOIN ord onb ON onb.v = bi.v
+         |    WHERE onb.pos < ov.pos AND bi.u NOT IN (SELECT v FROM seeds))
+         |  WHERE rn = 1)
+         |SELECT vertex, cluster FROM nonseed
+         |UNION ALL SELECT v, v FROM seeds ORDER BY vertex""".stripMargin,
 
     // ---- iterative graph family: recursive-CTE fixpoint replays ----------
     "q_pagerank" ->
