@@ -37,11 +37,15 @@ object QueriesDoc {
       col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Portable (md5-based) fingerprints — DuckDB recomputes them exactly, so
+    * this row is hash-compared end-to-end; the cheap xxhash64 fingerprints
+    * remain the in-flight dedup keys (q_exact_dedup path, Dedup.exact) and
+    * are spec-verified. */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
-      TextOps.fingerprint(col("text")).as("fingerprint"),
-      TextOps.rollingFingerprint(col("text")).as("rolling_fp"))
+      TextOps.fingerprintPortable(col("text")).as("content_fp"),
+      TextOps.rollingFingerprintPortable(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
 
   // ---- dedup ---------------------------------------------------------------
@@ -67,8 +71,26 @@ object QueriesDoc {
     Dedup.minhashPairs(Tables.documents(spark, sfDir), threshold = 0.3)
       .orderBy("a", "b")
 
+  /** Near-dup dedup groups: connected components over the MinHash-LSH pair
+    * graph (the standard corpus-dedup pipeline shape: sketch → candidate
+    * pairs → verify → transitive closure → keep one doc per cluster).
+    * cluster = min doc_id of the component; unpaired docs are their own
+    * cluster. Composes Dedup.minhashPairs with the small-star/large-star
+    * ConnectedComponents operator. */
+  def qNeardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, sfDir), threshold = 0.3)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val cc = graft.graph.ConnectedComponents.run(spark, pairs)
+    docs.join(cc, docs("doc_id") === cc("vertex"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Portable-mode sketch (md5 token hash) so the sketch VALUES — not just
+    * the group structure — are DuckDB-replayable and hash-compared. */
   def qSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.simhashGroups(Tables.documents(spark, sfDir)).orderBy("doc_id")
+    Dedup.simhashGroups(Tables.documents(spark, sfDir), portable = true).orderBy("doc_id")
 
   // ---- similarity search ---------------------------------------------------
 
@@ -88,12 +110,40 @@ object QueriesDoc {
     * signature, 8 bands of 8 bits — see Similarity.lshTopK's recall
     * calculus). Candidates are a strict subset of q_ann_topk's; the testdata
     * embeddings are near-orthogonal noise, so low-sim neighbors may be
-    * missed by design — LshRecallSpec proves ≥0.9 recall on planted
-    * near-duplicates. */
+    * missed by design — the recall spec proves ≥0.9 recall on planted
+    * near-duplicates, and the DuckDB oracle replays the md5-derived
+    * hyperplane bucketing exactly (hash-compared, not rows-only). */
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = emb(spark, sfDir)
     val queries = emb(spark, sfDir).where(col("id") < 5).toDF("qid", "qvec")
     Similarity.lshTopK(corpus, queries, k = 10)
+      .select(col("qid"), col("id"), col("rank").cast("long").as("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Shared IVF quantizer for the catalog queries: 8 cells, 5 Lloyd
+    * iterations over the full (small) embedding table — deterministic per
+    * Ivf's contract, so the DuckDB oracle replays the training fixpoint
+    * with a recursive CTE and then the probe/rerank exactly. */
+  private def ivfModel(spark: SparkSession, sfDir: String): graft.sim.Ivf.Model =
+    graft.sim.Ivf.train(emb(spark, sfDir), nlist = 8, iters = 5)
+
+  /** The inverted file itself: nearest-cell assignment + cell population
+    * (at scale: the bucketing column of the stored ANN index). */
+  def qIvfCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val cellDf = graft.sim.Ivf.cells(emb(spark, sfDir), ivfModel(spark, sfDir))
+    val sizes = cellDf.groupBy("cell").agg(count(lit(1)).as("cell_size"))
+    cellDf.join(sizes, "cell").select(col("id"), col("cell"), col("cell_size"))
+      .orderBy("id")
+  }
+
+  /** IVF ANN probing nprobe=2 of 8 cells — candidates are only the probed
+    * cells' members; exact rerank inside them. */
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = emb(spark, sfDir)
+    val queries = emb(spark, sfDir).where(col("id") < 5).toDF("qid", "qvec")
+    graft.sim.Ivf.search(corpus, queries, ivfModel(spark, sfDir), k = 10, nprobe = 2)
       .select(col("qid"), col("id"), col("rank").cast("long").as("rank"),
         round(col("sim"), 6).as("sim"))
       .orderBy("qid", "rank")

@@ -62,10 +62,13 @@ object SparkEntry {
     "q_exact_dedup"      -> (QueriesDoc.qExactDedup _),
     "q_ngram_pairs"      -> (QueriesDoc.qNgramPairs _),
     "q_minhash_pairs"    -> (QueriesDoc.qMinhashPairs _),
+    "q_neardup_clusters" -> (QueriesDoc.qNeardupClusters _),
     "q_simhash"          -> (QueriesDoc.qSimhash _),
     // similarity search
     "q_ann_topk"         -> (QueriesDoc.qAnnTopK _),
     "q_ann_lsh"          -> (QueriesDoc.qAnnLsh _),
+    "q_ann_ivf"          -> (QueriesDoc.qAnnIvf _),
+    "q_ivf_cells"        -> (QueriesDoc.qIvfCells _),
     "q_embed_neardup"    -> (QueriesDoc.qEmbedNearDup _),
     // events
     "q_sessions"         -> (QueriesDoc.qSessions _),
@@ -437,10 +440,74 @@ object SparkEntry {
     s"CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($all, x))) AS DOUBLE) / len(string_split(text, ' ')) END"
   }
 
-  private val SHINGLES =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 300),
-      |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-      |  ELSE list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS shs FROM toks)""".stripMargin
+  private def SHINGLES(where: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents $where),
+       |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS shs FROM toks)""".stripMargin
+
+  /** Brute-force shingle-Jaccard pair scan at `threshold` (the ground truth
+    * the LSH path must reproduce). */
+  private def JACCARD_PAIRS(where: String, threshold: Double): String =
+    s"""WITH ${SHINGLES(where)}
+       |SELECT * FROM (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    round(CASE WHEN len(list_distinct(list_concat(x.shs, y.shs))) = 0 THEN 0.0
+       |      ELSE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / len(list_distinct(list_concat(x.shs, y.shs))) END, 6) AS jaccard
+       |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+       |WHERE jaccard >= $threshold ORDER BY a, b""".stripMargin
+
+  /** Exact replay of Similarity's random-hyperplane LSH bucketing: the ±1
+    * plane matrix is regenerated from the same md5 derivation
+    * (sign(p,j) = +1 iff first hex char of md5("rhp:42:p:j") < '8'), bits =
+    * projection signs, per-band bucket = the band's 8-bit slice. `bb` =
+    * (id, band, bucket) for every embedding. The Spark side's maxBucket cap
+    * (10000) cannot trigger at sf scale (500 vectors) so it is not
+    * replicated. */
+  private val RHP_BB =
+    """planes AS (SELECT p, j,
+      |    CASE WHEN substr(md5('rhp:42:' || p || ':' || j), 1, 1) BETWEEN '0' AND '7'
+      |         THEN 1.0 ELSE -1.0 END AS s
+      |  FROM range(64) pp(p) CROSS JOIN range(64) jj(j)),
+      |ev AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |proj AS (SELECT id, p, sum(s * v[j + 1]) AS proj
+      |         FROM ev CROSS JOIN planes GROUP BY id, p),
+      |bb AS (SELECT id, p // 8 AS band, sum(CASE WHEN proj >= 0 THEN 1 ELSE 0 END << (p % 8)) AS bucket
+      |       FROM proj GROUP BY id, p // 8),
+      |nrm AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM ev)""".stripMargin
+
+  /** Exact replay of Ivf.train's fixed-iteration Lloyd fixpoint (nlist=8,
+    * iters=5): init centroids = embeddings of the 8 lowest ids (cell =
+    * id-rank), per-iteration centroids = per-cell per-dim means rounded to
+    * 6 dp (the cross-engine determinism contract), argmin ties to the lower
+    * cell. asg(k) = the assignment under the k-th centroid generation;
+    * `fasg` (iter=5) is what Ivf.cells emits, and the probe centroids for
+    * q_ann_ivf are the generation-5 means (recomputed from asg at iter 4 —
+    * exactly Ivf.train's returned model). */
+  private val KMEANS =
+    """ev AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+      |evd AS (SELECT id, pos, v[pos + 1] AS val FROM ev CROSS JOIN range(64) t(pos)),
+      |inits AS (SELECT id, CAST(row_number() OVER (ORDER BY id ASC) - 1 AS INTEGER) AS cell
+      |          FROM (SELECT id FROM ev ORDER BY id LIMIT 8)),
+      |initc AS (SELECT inits.cell, evd.pos, evd.val AS cm FROM inits JOIN evd USING (id)),
+      |ia0 AS (SELECT evd.id, initc.cell, sum((evd.val - initc.cm) * (evd.val - initc.cm)) AS d
+      |        FROM evd JOIN initc USING (pos) GROUP BY evd.id, initc.cell),
+      |asg(iter, id, cell) AS (
+      |  SELECT 0, id, cell FROM (
+      |    SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d ASC, cell ASC) AS rn FROM ia0)
+      |  WHERE rn = 1
+      |  UNION ALL
+      |  SELECT iter + 1, id, cell FROM (
+      |    SELECT iter, id, cell, row_number() OVER (PARTITION BY iter, id ORDER BY d ASC, cell ASC) AS rn
+      |    FROM (
+      |      SELECT cents.iter, evd.id, cents.cell,
+      |             sum((evd.val - cents.cm) * (evd.val - cents.cm)) AS d
+      |      FROM (SELECT asg.iter, asg.cell, e2.pos, round(avg(e2.val), 6) AS cm
+      |            FROM asg JOIN evd e2 USING (id)
+      |            WHERE asg.iter < 5 GROUP BY asg.iter, asg.cell, e2.pos) cents
+      |      JOIN evd USING (pos)
+      |      GROUP BY cents.iter, evd.id, cents.cell))
+      |  WHERE rn = 1),
+      |fasg AS (SELECT id, CAST(cell AS BIGINT) AS cell FROM asg WHERE iter = 5)""".stripMargin
 
   private val COSINE_SCORED =
     """q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
@@ -482,14 +549,62 @@ object SparkEntry {
         |g AS (SELECT norm, min(doc_id) AS canonical_id, count(*) AS group_size FROM norm GROUP BY norm)
         |SELECT doc_id, canonical_id, group_size FROM norm JOIN g USING (norm) ORDER BY doc_id""".stripMargin,
 
-    "q_ngram_pairs" ->
-      s"""WITH $SHINGLES
-         |SELECT * FROM (
-         |  SELECT x.doc_id AS a, y.doc_id AS b,
-         |    round(CASE WHEN len(list_distinct(list_concat(x.shs, y.shs))) = 0 THEN 0.0
-         |      ELSE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / len(list_distinct(list_concat(x.shs, y.shs))) END, 6) AS jaccard
-         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
-         |WHERE jaccard >= 0.05 ORDER BY a, b""".stripMargin,
+    "q_ngram_pairs" -> JACCARD_PAIRS("WHERE doc_id < 300", 0.05),
+
+    // The LSH path's output is BY CONSTRUCTION a subset of the brute-force
+    // pairs (every candidate is verified with exact shingle Jaccard), so the
+    // brute scan is a sound oracle that checks completeness too: a green row
+    // proves every true pair at this threshold collided in >= 1 MinHash band
+    // (recall 1.0 at sf0.01 — deterministic, seeded signatures) AND that the
+    // verification math matches.
+    "q_minhash_pairs" -> JACCARD_PAIRS("", 0.3),
+
+    // transitive closure of the (oracle-equal, see q_minhash_pairs) brute
+    // pair set; cluster = min-id reachable doc, unpaired docs self-cluster
+    "q_neardup_clusters" ->
+      s"""WITH RECURSIVE ${SHINGLES("")},
+         |p AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE CASE WHEN len(list_distinct(list_concat(x.shs, y.shs))) = 0 THEN 0.0
+         |    ELSE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / len(list_distinct(list_concat(x.shs, y.shs))) END >= 0.3),
+         |bi AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+         |r(v, lbl) AS (
+         |  SELECT DISTINCT src, src FROM bi
+         |  UNION
+         |  SELECT bi.dst, r.lbl FROM r JOIN bi ON r.v = bi.src WHERE r.lbl < bi.dst),
+         |comp AS (SELECT v, min(lbl) AS cluster FROM r GROUP BY v)
+         |SELECT d.doc_id, coalesce(comp.cluster, d.doc_id) AS cluster
+         |FROM documents d LEFT JOIN comp ON comp.v = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      raw"""SELECT doc_id,
+           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_fp,
+           |  list_reduce(list_prepend('graft', string_split(text, ' ')),
+           |              (acc, t) -> md5(acc || '|' || t)) AS rolling_fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // exact replay of the portable (md5-token-hash) SimHash kernel: per
+    // token h = value of the first 16 hex chars of md5; sketch bit b set iff
+    // a strict majority of tokens have hash bit b set; signed-64 wraparound
+    // via HUGEINT
+    "q_simhash" ->
+      """WITH t1 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM t1),
+        |n AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+        |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END) AS c
+        |         FROM th CROSS JOIN range(64) t(b) GROUP BY doc_id, b),
+        |sk0 AS (SELECT bits.doc_id,
+        |          sum(CASE WHEN c * 2 > n.n THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+        |        FROM bits JOIN n USING (doc_id) GROUP BY bits.doc_id),
+        |sk AS (SELECT doc_id,
+        |         (CASE WHEN u >= 9223372036854775808::HUGEINT
+        |               THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS simhash
+        |       FROM sk0),
+        |g AS (SELECT simhash, min(doc_id) AS canonical_id, count(*) AS group_size
+        |      FROM sk GROUP BY simhash)
+        |SELECT sk.doc_id, sk.simhash, g.canonical_id, g.group_size
+        |FROM sk JOIN g USING (simhash) ORDER BY doc_id""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH $COSINE_SCORED,
@@ -497,6 +612,54 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS BIGINT) AS rank,
          |  round(sim, 6) AS sim FROM scored)
          |SELECT qid, id, rank, sim FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH $RHP_BB,
+         |cand AS (SELECT DISTINCT q.id AS qid, c.id AS id
+         |         FROM bb c JOIN bb q ON c.band = q.band AND c.bucket = q.bucket
+         |         WHERE q.id < 5 AND c.id <> q.id),
+         |scored AS (SELECT cand.qid, cand.id,
+         |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / (a.nv * b.nv) AS sim
+         |  FROM cand JOIN nrm a ON a.id = cand.id JOIN nrm b ON b.id = cand.qid),
+         |ranked AS (SELECT qid, id,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS BIGINT) AS rank,
+         |    round(sim, 6) AS sim FROM scored)
+         |SELECT qid, id, rank, sim FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_ivf_cells" ->
+      s"""WITH RECURSIVE $KMEANS
+         |SELECT f.id, f.cell, s.cell_size FROM fasg f
+         |JOIN (SELECT cell, count(*) AS cell_size FROM fasg GROUP BY cell) s USING (cell)
+         |ORDER BY id""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH RECURSIVE $KMEANS,
+         |nrm AS (SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv FROM ev),
+         |cfinal AS (SELECT asg.cell, evd.pos, round(avg(evd.val), 6) AS cm
+         |           FROM asg JOIN evd USING (id) WHERE asg.iter = 4 GROUP BY asg.cell, evd.pos),
+         |pd AS (SELECT q.id AS qid, cfinal.cell,
+         |         sum((q.v[cfinal.pos + 1] - cfinal.cm) * (q.v[cfinal.pos + 1] - cfinal.cm)) AS d
+         |       FROM ev q CROSS JOIN cfinal WHERE q.id < 5 GROUP BY q.id, cfinal.cell),
+         |probe AS (SELECT qid, CAST(cell AS BIGINT) AS cell FROM (
+         |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY d ASC, cell ASC) AS rn
+         |    FROM pd) WHERE rn <= 2),
+         |cand AS (SELECT probe.qid, f.id FROM probe JOIN fasg f USING (cell) WHERE f.id <> probe.qid),
+         |scored AS (SELECT cand.qid, cand.id,
+         |    list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2])) / (a.nv * b.nv) AS sim
+         |  FROM cand JOIN nrm a ON a.id = cand.id JOIN nrm b ON b.id = cand.qid),
+         |ranked AS (SELECT qid, id,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id ASC) AS BIGINT) AS rank,
+         |    round(sim, 6) AS sim FROM scored)
+         |SELECT qid, id, rank, sim FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH $RHP_BB,
+         |cand AS (SELECT DISTINCT l.id AS a, r.id AS b
+         |         FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+         |scored AS (SELECT cand.a, cand.b,
+         |    list_sum(list_transform(list_zip(x.v, y.v), z -> z[1] * z[2])) / (x.nv * y.nv) AS sim
+         |  FROM cand JOIN nrm x ON x.id = cand.a JOIN nrm y ON y.id = cand.b)
+         |SELECT a, b, round(sim, 6) AS sim FROM scored WHERE sim >= 0.35 ORDER BY a, b""".stripMargin,
 
     "q_sessions" ->
       """WITH s AS (SELECT user_id, ts, value,

@@ -124,13 +124,15 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash over token hashes: bit i of the sketch = sign of the
-    * sum over tokens of (bit i of xxhash64(token) ? +1 : -1).
+    * sum over tokens of (bit i of hash(token) ? +1 : -1).
     *
     * Delegates to the native codegen expression [[graft.functions.SimHash64]]
     * — higher-order functions are interpreted in Spark, which made the
     * declarative fold ([[simhashHof]], kept as the spec cross-check oracle)
-    * ~200x slower per row. Both produce identical sketches. */
-  def simhash(text: Column): Column = graft.functions.simhash64(text)
+    * ~200x slower per row. `portable = true` selects the md5 token hash
+    * (cross-engine reproducible sketch; see [[graft.functions.SimHash64]]). */
+  def simhash(text: Column, portable: Boolean = false): Column =
+    graft.functions.simhash64(text, portable)
 
   /** The declarative higher-order-function formulation of [[simhash]] —
     * bit-identical, used to cross-validate the native kernel. */
@@ -154,8 +156,9 @@ object Dedup {
 
   /** Documents sharing an identical SimHash sketch (cheap near-dup classes).
     * Returns (id, simhash, canonical_id, group_size). */
-  def simhashGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val s = docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+  def simhashGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    portable: Boolean = false): DataFrame = {
+    val s = docs.select(col(idCol), simhash(col(textCol), portable).as("simhash"))
     val g = s.groupBy("simhash").agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
     s.join(g, "simhash").select(col(idCol), col("simhash"), col("canonical_id"), col("group_size"))
   }

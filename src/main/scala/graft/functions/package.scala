@@ -6,9 +6,11 @@ import org.apache.spark.sql.graftshim.GraftShim
 /** Column-API entry points for the engine's native Catalyst expressions. */
 package object functions {
 
-  /** 64-bit SimHash sketch of a space-tokenized string (codegen). */
-  def simhash64(text: Column): Column =
-    GraftShim.column(SimHash64(GraftShim.expression(text)))
+  /** 64-bit SimHash sketch of a space-tokenized string (codegen).
+    * `portable = true` switches the token hash from xxhash64 to md5 (first
+    * 8 digest bytes) — cross-engine reproducible, see [[SimHash64]]. */
+  def simhash64(text: Column, portable: Boolean = false): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(text), portable))
 
   /** Anchor-target extraction from raw html bytes (codegen). */
   def extract_hrefs(html: Column): Column =
@@ -23,6 +25,7 @@ package object functions {
     * (alternative to spark.sql.extensions=graft.plans.GraftExtensions). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftShim.registerFunction(spark, "simhash64", es => SimHash64(es.head))
+    GraftShim.registerFunction(spark, "simhash64_md5", es => SimHash64(es.head, portable = true))
     GraftShim.registerFunction(spark, "extract_hrefs", es => ExtractHrefs(es.head))
     GraftShim.registerFunction(spark, "resolve_url", es => ResolveUrl(es(0), es(1)))
   }

@@ -38,12 +38,12 @@ object Similarity {
   }
 
   /** Cosine from a precomputed-norm pair: one array pass per comparison. */
-  private def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+  private[sim] def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na * nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
 
   /** (id, v: array<double>, nrm) projection — norms computed once per row. */
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
-                       vOut: String, nOut: String): DataFrame =
+  private[sim] def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                            vOut: String, nOut: String): DataFrame =
     df.select(col(idCol), col(vecCol).cast("array<double>").as(vOut))
       .withColumn(nOut, norm(col(vOut)))
 
@@ -53,8 +53,8 @@ object Similarity {
     * only k rows per group cross the exchange, no full per-group sort.
     * Contract: id must be integral (emitted as long); null score/id rows
     * are dropped (a null cosine can only come from a null vector). */
-  private def topKPerGroup(scored: DataFrame, k: Int,
-                           groupCol: String, idCol: String): DataFrame = {
+  private[sim] def topKPerGroup(scored: DataFrame, k: Int,
+                                groupCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val topk = udaf(new graft.functions.TopKAggregator(k), ExpressionEncoder[(Double, Long)]())
     scored.where(col("sim").isNotNull && col(idCol).isNotNull)
@@ -80,20 +80,32 @@ object Similarity {
     topKPerGroup(scored, k, qidCol, idCol)
   }
 
-  /** nBits-bit random-hyperplane signature of a vector: a ±1 Rademacher
-    * plane per bit, derived from xxhash64 — seedable, shuffle-free,
-    * identical on every executor without broadcasting plane matrices. */
-  def rhpSignature(vec: Column, nBits: Int = 16, seed: Long = 42L): Column = {
-    val bits = transform(sequence(lit(0), lit(nBits - 1)), p => {
-      // projection onto plane p = sum_j sign(p,j) * v[j]
+  /** Deterministic ±1 Rademacher hyperplane matrix: sign(p, j) = +1 iff the
+    * top bit of md5("rhp:<seed>:<p>:<j>") is 0 (equivalently, the first hex
+    * char is 0-7). md5-derived so ANY engine can regenerate the identical
+    * matrix — the DuckDB oracle twin rebuilds it in SQL and replays the
+    * whole LSH bucketing exactly. The matrix is tiny (nBits × dim doubles)
+    * and baked into the plan as a literal: zero per-row hashing, no
+    * broadcast needed. */
+  def rhpPlanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits, dim) { (p, j) =>
+      val d = md.digest(s"rhp:$seed:$p:$j".getBytes("UTF-8"))
+      if ((d(0) & 0x80) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** nBits-bit random-hyperplane signature of a `dim`-dimensional vector:
+    * bit p = sign of the projection onto literal plane p (proj >= 0 → 1). */
+  def rhpSignature(vec: Column, nBits: Int = 16, seed: Long = 42L, dim: Int = 64): Column = {
+    val planes = rhpPlanes(nBits, dim, seed)
+    val v = vec.cast("array<double>")
+    (0 until nBits).map { p =>
       val proj = aggregate(
-        zip_with(vec.cast("array<double>"), sequence(lit(0), size(vec) - 1),
-          (v, j) => v * when(shiftright(xxhash64(lit(seed), p, j), 7)
-            .bitwiseAND(lit(1L)) === 1L, lit(1.0d)).otherwise(lit(-1.0d))),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0.0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+        zip_with(v, typedlit(planes(p).toSeq), (x, s) => x * s),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
   }
 
   /** (band, bucket) rows of an nBits signature split into `bands` chunks. */
@@ -115,9 +127,9 @@ object Similarity {
     * again. The persisted table is (id, sig:long): tiny at any scale, and
     * exactly what a production pipeline would materialize anyway. */
   private def bandedIds(df: DataFrame, idCol: String, vecCol: String,
-                        nBits: Int, bands: Int, seed: Long): DataFrame = {
+                        nBits: Int, bands: Int, seed: Long, dim: Int): DataFrame = {
     val sig = graft.core.CacheRegistry.register(
-      df.select(col(idCol), rhpSignature(col(vecCol), nBits, seed).as("sig"))
+      df.select(col(idCol), rhpSignature(col(vecCol), nBits, seed, dim).as("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     sig.select(col(idCol), explode(bandBuckets(col("sig"), nBits, bands)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
@@ -137,11 +149,11 @@ object Similarity {
     * hot bucket cannot quadratically explode a task. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nBits: Int = 64, bands: Int = 8, seed: Long = 42L,
-              maxBucket: Int = 10000,
+              maxBucket: Int = 10000, dim: Int = 64,
               idCol: String = "id", vecCol: String = "vec",
               qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val cs = capBuckets(bandedIds(corpus, idCol, vecCol, nBits, bands, seed), maxBucket)
-    val qs = bandedIds(queries, qidCol, qvecCol, nBits, bands, seed)
+    val cs = capBuckets(bandedIds(corpus, idCol, vecCol, nBits, bands, seed, dim), maxBucket)
+    val qs = bandedIds(queries, qidCol, qvecCol, nBits, bands, seed, dim)
 
     // dedup on ids before touching vectors again
     val cand = cs.join(broadcast(qs), Seq("band", "bucket"))
@@ -172,8 +184,9 @@ object Similarity {
     * calculus and `maxBucket` skew cap as [[lshTopK]]. */
   def nearDupPairs(corpus: DataFrame, threshold: Double, nBits: Int = 64,
                    bands: Int = 8, seed: Long = 42L, maxBucket: Int = 10000,
+                   dim: Int = 64,
                    idCol: String = "id", vecCol: String = "vec"): DataFrame = {
-    val banded = capBuckets(bandedIds(corpus, idCol, vecCol, nBits, bands, seed), maxBucket)
+    val banded = capBuckets(bandedIds(corpus, idCol, vecCol, nBits, bands, seed, dim), maxBucket)
 
     val l = banded.select(col("band"), col("bucket"), col(idCol).as("a"))
     val rt = banded.select(col("band"), col("bucket"), col(idCol).as("b"))

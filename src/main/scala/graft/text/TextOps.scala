@@ -80,6 +80,22 @@ object TextOps {
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1125899906842597L), (acc, t) => xxhash64(acc, t))
 
+  /** Portable content fingerprint: md5 hex of normalized text. Unlike the
+    * xxhash64 forms above (the cheap in-flight keys), the md5 fingerprints
+    * are **cross-engine reproducible** — any engine or script (DuckDB,
+    * Python, a downstream consumer of the stored fingerprint column) can
+    * recompute them byte-for-byte, which is what you want for fingerprints
+    * that get persisted and re-checked outside Spark. md5 is a codegen
+    * built-in, so this stays a narrow whole-stage-codegen transform. */
+  def fingerprintPortable(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Portable order-sensitive rolling fingerprint: left fold of
+    * `md5(acc || '|' || token)` over the token stream (seed "graft").
+    * Same cross-engine contract as [[fingerprintPortable]]. */
+  def rollingFingerprintPortable(text: Column): Column =
+    aggregate(tokens(text), lit("graft"), (acc, t) => md5(concat(acc, lit("|"), t)))
+
   // ---- DataFrame-level conveniences ---------------------------------------
 
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -46,7 +46,7 @@ class SimilaritySpec extends SparkTestBase {
     val queries = vecs.take(10).toDF("qid", "qvec")
     val brute = Similarity.bruteForceTopK(corpus, queries, k = 10)
       .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val lsh = Similarity.lshTopK(corpus, queries, k = 10)
+    val lsh = Similarity.lshTopK(corpus, queries, k = 10, dim = dim)
       .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val recalls = brute.keys.toSeq.map { q =>
       val l = lsh.getOrElse(q, Set.empty)
@@ -59,7 +59,7 @@ class SimilaritySpec extends SparkTestBase {
   test("embedding near-dup pairs finds planted duplicates") {
     val planted = corpus.unionByName(
       Seq((1000L, vecs.head._2.map(v => v * 1.0001f))).toDF("id", "vec"))
-    val pairs = Similarity.nearDupPairs(planted, threshold = 0.999)
+    val pairs = Similarity.nearDupPairs(planted, threshold = 0.999, dim = dim)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1000L)), s"got $pairs")
   }
@@ -68,7 +68,7 @@ class SimilaritySpec extends SparkTestBase {
     val planted = corpus.unionByName(
       Seq((1000L, vecs.head._2.map(v => v * 1.0001f))).toDF("id", "vec"))
     // with the cap at 1 every bucket containing a colliding pair is dropped
-    val capped = Similarity.nearDupPairs(planted, threshold = 0.999, maxBucket = 1)
+    val capped = Similarity.nearDupPairs(planted, threshold = 0.999, maxBucket = 1, dim = dim)
     assert(capped.count() == 0L)
   }
 }
