@@ -125,9 +125,15 @@ object QueriesDoc {
   /** Shared IVF quantizer for the catalog queries: 8 cells, 5 Lloyd
     * iterations over the full (small) embedding table — deterministic per
     * Ivf's contract, so the DuckDB oracle replays the training fixpoint
-    * with a recursive CTE and then the probe/rerank exactly. */
+    * with a recursive CTE and then the probe/rerank exactly. Memoized per
+    * (session, sfDir): the model is immutable trained state, and q_ivf_cells
+    * + q_ann_ivf share it (training is deterministic, so memoization is
+    * purely a wall-time save). */
+  private val ivfModels =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), graft.sim.Ivf.Model]()
   private def ivfModel(spark: SparkSession, sfDir: String): graft.sim.Ivf.Model =
-    graft.sim.Ivf.train(emb(spark, sfDir), nlist = 8, iters = 5)
+    ivfModels.computeIfAbsent((spark.sparkContext.applicationId, sfDir),
+      _ => graft.sim.Ivf.train(emb(spark, sfDir), nlist = 8, iters = 5))
 
   /** The inverted file itself: nearest-cell assignment + cell population
     * (at scale: the bucketing column of the stored ANN index). */
