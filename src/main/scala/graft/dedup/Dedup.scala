@@ -56,12 +56,18 @@ object Dedup {
   /** MinHash signature: k permutations simulated by seeded xxhash64 over the
     * shingle set; element j = min over shingles of xxhash64(shingle, j).
     *
-    * Single pass over the shingle array: fold with a k-wide running-min
-    * accumulator (each shingle is constructed and visited once, hashed k
-    * times) instead of k independent array scans — the naive
-    * transform-of-array_min shape rebuilds the shingle strings k times per
-    * row, which dominated the profile. */
+    * Delegates to the native codegen expression [[graft.functions.MinHash64]]
+    * — single-pass, zero-copy (shingles are hashed as in-place byte spans,
+    * never materialized). [[minhashSignatureHof]] is the bit-identical
+    * declarative formulation, kept as the spec cross-check oracle. */
   def minhashSignature(text: Column, k: Int = 32, shingleN: Int = 3): Column =
+    graft.functions.minhash64(text, k, shingleN)
+
+  /** Declarative higher-order-function twin of [[minhashSignature]]: fold
+    * with a k-wide running-min accumulator (each shingle constructed and
+    * visited once, hashed k times). Interpreted (HOFs have no doGenCode) —
+    * use the native form in data paths. */
+  def minhashSignatureHof(text: Column, k: Int = 32, shingleN: Int = 3): Column =
     aggregate(
       shingles(text, shingleN),
       array_repeat(lit(Long.MaxValue), k),

@@ -12,6 +12,11 @@ package object functions {
   def simhash64(text: Column, portable: Boolean = false): Column =
     GraftShim.column(SimHash64(GraftShim.expression(text), portable))
 
+  /** k-wide MinHash signature over shingleN-token shingles (codegen,
+    * zero-copy in-place shingle hashing). */
+  def minhash64(text: Column, k: Int = 32, shingleN: Int = 3): Column =
+    GraftShim.column(MinHash64(GraftShim.expression(text), k, shingleN))
+
   /** Anchor-target extraction from raw html bytes (codegen). */
   def extract_hrefs(html: Column): Column =
     GraftShim.column(ExtractHrefs(GraftShim.expression(html)))
@@ -26,6 +31,7 @@ package object functions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftShim.registerFunction(spark, "simhash64", es => SimHash64(es.head))
     GraftShim.registerFunction(spark, "simhash64_md5", es => SimHash64(es.head, portable = true))
+    GraftShim.registerFunction(spark, "minhash64", es => MinHash64(es.head))
     GraftShim.registerFunction(spark, "extract_hrefs", es => ExtractHrefs(es.head))
     GraftShim.registerFunction(spark, "resolve_url", es => ResolveUrl(es(0), es(1)))
   }

@@ -37,6 +37,45 @@ class NativeFunctionsSpec extends SparkTestBase {
     assert(diff == 0L)
   }
 
+  test("portable SimHash matches a plain-Scala MessageDigest reference") {
+    def md5First8(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+      (0 until 8).foldLeft(0L)((h, k) => (h << 8) | (d(k) & 0xffL))
+    }
+    def reference(text: String): Long = {
+      val hs = text.split(" ", -1).map(md5First8)
+      (0 until 64).foldLeft(0L) { (sk, b) =>
+        val c = hs.count(h => ((h >>> b) & 1L) == 1L)
+        if (c * 2 > hs.length) sk | (1L << b) else sk
+      }
+    }
+    val got = docs.select($"doc_id", Dedup.simhash($"text", portable = true).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == reference(t), s"doc $id")
+    }
+  }
+
+  test("MinHash64 expression is bit-identical to the HOF formulation") {
+    val shortAndLong = docs.unionByName(Seq(
+      (7L, "one two"), // fewer tokens than shingleN: whole-text shingle
+      (8L, "x")).toDF("doc_id", "text"))
+    val got = shortAndLong.select($"doc_id", Dedup.minhashSignature($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expect = shortAndLong.select($"doc_id", Dedup.minhashSignatureHof($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got == expect)
+  }
+
+  test("MinHash64 on the documents table matches HOF end-to-end") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = d.select(
+        Dedup.minhashSignature(col("text")).as("a"),
+        Dedup.minhashSignatureHof(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0L)
+  }
+
   test("ExtractHrefs expression matches the typed flatMap extractor exactly") {
     val pages = PageSynth.pages(spark, 500L, seed = 7L, numPartitions = 4)
     val a = LinkExtract.linkPairs(pages).collect()
