@@ -251,6 +251,23 @@ object Queries {
       .orderBy("kind")
   }
 
+  /** REAL decode over a mixed media corpus: PNG dimensions + luminance
+    * histogram via the JDK's ImageIO, PCM-WAV geometry + amplitude stats via
+    * byte parsing; only the video rows go through the documented stub.
+    * Rows-only at the driver (ImageIO is not SQL-expressible); the decode
+    * kernels are pixel/sample-exact against MediaSynth's generator ground
+    * truth in MediaDecodeSpec. */
+  def qMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = graft.multimodal.MediaSynth.mediaTable(spark, nPerKind = 50, seed = 42L)
+    graft.multimodal.BinaryOps.decodeAll(media).toDF()
+      .select(col("url"), col("kind"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples").cast("long").as("n_samples"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+      .orderBy("url")
+  }
+
   def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val pages = graft.ingest.PageSynth.pages(spark, 1000L, seed = 42L, numPartitions = 8)
     graft.multimodal.BinaryOps.extractFeatures(pages.toDF()).toDF()

@@ -53,6 +53,7 @@ object SparkEntry {
     // multimodal binary plumbing (synthesized pages)
     "q_media_meta"       -> (Queries.qMediaMeta _),
     "q_media_features"   -> (Queries.qMediaFeatures _),
+    "q_media_decode"     -> (Queries.qMediaDecode _),
     // documents / text
     "q_token_stats"      -> (QueriesDoc.qTokenStats _),
     "q_text_quality"     -> (QueriesDoc.qTextQuality _),
