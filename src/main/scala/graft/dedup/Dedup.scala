@@ -105,9 +105,19 @@ object Dedup {
       .where(col("bn") <= maxBucket)
     val l = capped.select(col("band"), col("bucket"), col(idCol).as("a"))
     val rt = capped.select(col("band"), col("bucket"), col(idCol).as("b"))
-    val cand = l.join(rt, Seq("band", "bucket")).where(col("a") < col("b"))
-      .select("a", "b").distinct()
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    // the candidate id-pair set is tiny (8-byte keys, post-cap) and feeds
+    // TWO consumers below — persist it so the bucket join runs once
+    val cand = graft.core.CacheRegistry.register(
+      l.join(rt, Seq("band", "bucket")).where(col("a") < col("b"))
+        .select("a", "b").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize shingles ONLY for docs that appear in a candidate pair
+    // (semi-join prune): at corpus scale candidates are a sliver of the
+    // corpus, and rebuilding every document's shingle set just to verify
+    // that sliver would dominate the job
+    val candIds = cand.select(col("a").as(idCol)).union(cand.select(col("b").as(idCol))).distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     cand
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), "b")

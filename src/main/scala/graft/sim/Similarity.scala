@@ -96,8 +96,18 @@ object Similarity {
   }
 
   /** nBits-bit random-hyperplane signature of a `dim`-dimensional vector:
-    * bit p = sign of the projection onto literal plane p (proj >= 0 → 1). */
+    * bit p = sign of the projection onto literal plane p (proj >= 0 → 1).
+    * Native codegen kernel (the plane matrix rides along as a codegen
+    * reference object); [[rhpSignatureHof]] is the bit-identical
+    * declarative twin kept as the spec cross-check. */
   def rhpSignature(vec: Column, nBits: Int = 16, seed: Long = 42L, dim: Int = 64): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.functions.RhpSignature64(
+      GraftShim.expression(vec.cast("array<double>")), rhpPlanes(nBits, dim, seed)))
+  }
+
+  /** Declarative higher-order-function twin of [[rhpSignature]]. */
+  def rhpSignatureHof(vec: Column, nBits: Int = 16, seed: Long = 42L, dim: Int = 64): Column = {
     val planes = rhpPlanes(nBits, dim, seed)
     val v = vec.cast("array<double>")
     (0 until nBits).map { p =>

@@ -67,6 +67,25 @@ class NativeFunctionsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("MinHash64 equals HOF on scalacheck-generated random token streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random words over a tiny alphabet + multi-byte chars, random
+    // multiplicity of spaces (empty tokens), random token counts 0..12
+    val textGen: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "código", "日本", "", "x y".take(1)))
+      seps <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  "))
+    } yield toks.zipAll(seps, "", "").map { case (t, s) => t + s }.mkString
+    val cases = (0 until 60).flatMap(i => textGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val diff = df.select(
+        Dedup.minhashSignature($"text", k = 16).as("a"),
+        Dedup.minhashSignatureHof($"text", k = 16).as("b"))
+      .where($"a" =!= $"b").count()
+    assert(diff == 0L)
+  }
+
   test("MinHash64 on the documents table matches HOF end-to-end") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val diff = d.select(

@@ -56,6 +56,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(mean >= 0.9, s"mean recall@10 = $mean")
   }
 
+  test("native RHP signature is bit-identical to the HOF formulation") {
+    val diff = corpus.select(
+        Similarity.rhpSignature($"vec", nBits = 64, dim = dim).as("a"),
+        Similarity.rhpSignatureHof($"vec", nBits = 64, dim = dim).as("b"))
+      .where($"a" =!= $"b").count()
+    assert(diff == 0L)
+    // dim mismatch: both formulations degrade to the all-zero signature
+    val zeros = corpus.select(
+        Similarity.rhpSignature($"vec", nBits = 8, dim = dim + 1).as("a"),
+        Similarity.rhpSignatureHof($"vec", nBits = 8, dim = dim + 1).as("b"))
+      .collect()
+    assert(zeros.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     val planted = corpus.unionByName(
       Seq((1000L, vecs.head._2.map(v => v * 1.0001f))).toDF("id", "vec"))
