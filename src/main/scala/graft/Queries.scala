@@ -51,6 +51,7 @@ object Queries {
   def clearCaches(): Unit = {
     graft.core.CacheRegistry.clearAll()
     edgeCache.clear()
+    QueriesDoc.clearModels()
   }
 
   /** Components of the shared thresholded graph — nine catalog queries

@@ -135,6 +135,10 @@ object QueriesDoc {
     ivfModels.computeIfAbsent((spark.sparkContext.applicationId, sfDir),
       _ => graft.sim.Ivf.train(emb(spark, sfDir), nlist = 8, iters = 5))
 
+  /** Drop memoized trained models (Queries.clearCaches calls this — same
+    * lifecycle as the persisted-table registry). */
+  private[graft] def clearModels(): Unit = ivfModels.clear()
+
   /** The inverted file itself: nearest-cell assignment + cell population
     * (at scale: the bucketing column of the stored ANN index). */
   def qIvfCells(spark: SparkSession, sfDir: String): DataFrame = {

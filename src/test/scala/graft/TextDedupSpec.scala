@@ -69,4 +69,20 @@ class TextDedupSpec extends SparkTestBase {
     val fp = perm.select(TextOps.rollingFingerprint(col("text"))).head().getLong(0)
     assert(f0 != fp)
   }
+
+  test("incremental dedup drops known fingerprints and batch-internal dups") {
+    // corpus index = fingerprints of docs 0 and 2
+    val known = docs.where(col("doc_id").isin(0L, 2L))
+      .select(TextOps.fingerprint(col("text")).as("fingerprint"))
+    // arriving batch: re-send of doc 0 (new id), an internal duplicate pair,
+    // and a genuinely new doc
+    val batch = Seq(
+      (100L, docs.collect()(0).getString(1)), // exact re-send of doc 0
+      (101L, "fresh unseen content alpha"),
+      (102L, "fresh unseen content alpha"),   // batch-internal dup of 101
+      (103L, "another new document entirely")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.incremental(batch, known)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(101L, 103L))
+  }
 }
