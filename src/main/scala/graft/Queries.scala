@@ -206,6 +206,11 @@ object Queries {
     * reference src/leiden.h:19-24); labels are deterministic level-0 vertex
     * ids. Rows-only driver check; exact-recovery and modularity-vs-LPA
     * oracles live in LouvainSpec. */
+  /** Rows-only at the driver: Louvain is multi-level (move passes +
+    * coarsening per level) with driver-loop control flow — there is no
+    * bounded SQL fixpoint to replay. Correctness lives in LouvainSpec
+    * (planted cliques recovered; modularity >= LPA's; resolution
+    * semantics) and the oracled q_modularity objective. */
   def qLouvain(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.Louvain.run(spark, edges(spark, sfDir), resolution = 0.7)
       .assignment.orderBy("vertex")
@@ -239,6 +244,12 @@ object Queries {
     GreedyClustering.run(spark, distEdges(spark, sfDir), vertexRanks(spark, sfDir),
       GreedyClustering.Uclust, precomputedCC = Some(cc(spark, sfDir))).orderBy("vertex")
 
+  /** Rows-only at the driver: each agglomerative merge depends on a global
+    * argmin whose tie order follows the heap's insertion sequence — with
+    * integer-derived distances, ties are pervasive and a SQL replay of the
+    * tie order is not well-defined. Correctness lives in GreedySpec, a
+    * 40-case scalacheck property vs the pre-heap formulation, and the
+    * reference repo's own vir61 complete-linkage goldens (MainCliSpec). */
   def qCompleteLinkage(spark: SparkSession, sfDir: String): DataFrame =
     GreedyClustering.completeLinkage(spark, distEdges(spark, sfDir),
       precomputedCC = Some(cc(spark, sfDir))).orderBy("vertex")
