@@ -206,13 +206,17 @@ object Queries {
     * reference src/leiden.h:19-24); labels are deterministic level-0 vertex
     * ids. Rows-only driver check; exact-recovery and modularity-vs-LPA
     * oracles live in LouvainSpec. */
-  /** Rows-only at the driver: Louvain is multi-level (move passes +
-    * coarsening per level) with driver-loop control flow — there is no
-    * bounded SQL fixpoint to replay. Correctness lives in LouvainSpec
-    * (planted cliques recovered; modularity >= LPA's; resolution
-    * semantics) and the oracled q_modularity objective. */
+  /** ORACLED end-to-end: the catalog instance runs a FIXED schedule (4
+    * passes/level × 3 levels, md5-derived damping parity, per-level
+    * refinement) so the driver's DuckDB twin replays every pass, every
+    * refinement min-label step and every contraction in one recursive CTE
+    * over the composed assignment. Replay exactness holds because all
+    * Louvain quantities are integer-valued doubles (order-free exact sums),
+    * making the gain scores IEEE-identical across engines. The library
+    * default (early-stop, xxhash parity) is spec-verified in LouvainSpec. */
   def qLouvain(spark: SparkSession, sfDir: String): DataFrame =
-    graft.graph.Louvain.run(spark, edges(spark, sfDir), resolution = 0.7)
+    graft.graph.Louvain.run(spark, edges(spark, sfDir), resolution = 0.7,
+      maxPasses = 4, maxLevels = 3, earlyStop = false, portableParity = true)
       .assignment.orderBy("vertex")
 
   /** Newman modularity of the connected-components partition (SQL-oracled:

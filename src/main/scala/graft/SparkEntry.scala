@@ -175,6 +175,78 @@ object SparkEntry {
     """deg AS (SELECT u, count(*) AS d FROM bi GROUP BY u),
       |ord AS (SELECT u AS v, CAST(row_number() OVER (ORDER BY d DESC, u ASC) AS BIGINT) AS pos FROM deg)""".stripMargin
 
+  /** Full SQL replay of the fixed-schedule Louvain catalog run (see
+    * Queries.qLouvain): state machine over the COMPOSED level-0 assignment,
+    * one recursive step per move pass or refinement min-label step.
+    * Cycle = 4 move passes + 10 refinement steps (measured propagation
+    * depth ≤ 5; extra steps are no-ops), × 3 levels = 42 steps. At a level
+    * boundary (next step ≡ 0 mod 14) the refined label becomes the new
+    * super-vertex (contraction). All masses are counts of base bi-edges
+    * grouped by the composed labels — identical VALUES to the coarse-graph
+    * aggregates the Spark side computes, and exact integers, so the gain
+    * scores `kc − ((γ·k)·(Σtot−adj))/2m` match IEEE-bit-for-bit. */
+  private def LOUVAIN_SQL(gamma: Double, passes: Int, ccSteps: Int, levels: Int): String = {
+    val cycle = passes + ccSteps
+    val total = cycle * levels
+    s"""bi AS (SELECT src AS x, dst AS y FROM e UNION ALL SELECT dst, src FROM e),
+       |lverts AS (SELECT DISTINCT x AS v FROM bi),
+       |lmm AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM bi),
+       |lst(step, v, unit, comm, lbl) AS (
+       |  SELECT 0, v, v, v, v FROM lverts
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    WITH cur AS (SELECT * FROM lst WHERE step % $cycle < $passes AND step < $total),
+       |    vu AS (SELECT v, unit, comm FROM cur),
+       |    units AS (SELECT DISTINCT unit AS u, comm FROM cur),
+       |    k AS (SELECT vu.unit AS u, CAST(count(*) AS DOUBLE) AS k
+       |          FROM bi JOIN vu ON bi.x = vu.v GROUP BY vu.unit),
+       |    tot AS (SELECT units.comm AS c, sum(k.k) AS tot
+       |            FROM units JOIN k ON k.u = units.u GROUP BY units.comm),
+       |    kvc AS (SELECT a.unit AS u, b.comm AS c, CAST(count(*) AS DOUBLE) AS kc
+       |            FROM bi JOIN vu a ON bi.x = a.v JOIN vu b ON bi.y = b.v
+       |            WHERE a.unit <> b.unit GROUP BY a.unit, b.comm),
+       |    cand AS (SELECT u, c, sum(kc) AS kc FROM (
+       |               SELECT u, c, kc FROM kvc
+       |               UNION ALL SELECT u, comm, 0.0 FROM units) GROUP BY u, c),
+       |    scored AS (SELECT cand.u, cand.c, units.comm AS curc, k.k,
+       |        cand.kc - (($gamma * k.k) * (tot.tot -
+       |          CASE WHEN cand.c = units.comm THEN k.k ELSE 0.0 END)) / (SELECT m2 FROM lmm) AS score
+       |      FROM cand JOIN units ON units.u = cand.u
+       |      JOIN k ON k.u = cand.u JOIN tot ON tot.c = cand.c),
+       |    ranked AS (SELECT u, curc, c, score,
+       |        row_number() OVER (PARTITION BY u ORDER BY score DESC, c ASC) AS rn
+       |      FROM scored),
+       |    pick AS (SELECT r.u, r.curc, r.c AS best, r.score AS best_score, s2.score AS stay_score
+       |      FROM ranked r JOIN scored s2 ON s2.u = r.u AND s2.c = r.curc
+       |      WHERE r.rn = 1),
+       |    nxt AS (SELECT u,
+       |        CASE WHEN (CASE WHEN substr(md5(CAST(u AS VARCHAR)), 1, 1) < '8' THEN 0 ELSE 1 END)
+       |                  = (SELECT any_value(step) FROM cur) % $cycle % 2
+       |                  AND best_score > stay_score
+       |             THEN best ELSE curc END AS newc
+       |      FROM pick)
+       |    SELECT cur.step + 1, cur.v, cur.unit, nxt.newc, cur.unit
+       |    FROM cur JOIN nxt ON nxt.u = cur.unit
+       |    UNION ALL
+       |    SELECT step + 1, v,
+       |      CASE WHEN (step + 1) % $cycle = 0 THEN lbl2 ELSE unit END,
+       |      CASE WHEN (step + 1) % $cycle = 0 THEN lbl2 ELSE comm END,
+       |      lbl2
+       |    FROM (
+       |      WITH cur2 AS (SELECT * FROM lst WHERE step % $cycle >= $passes AND step < $total),
+       |      uinfo AS (SELECT DISTINCT unit AS u, comm, lbl FROM cur2),
+       |      nbmin AS (SELECT a.unit AS u, min(ub.lbl) AS nb
+       |                FROM bi JOIN cur2 a ON bi.x = a.v JOIN cur2 b ON bi.y = b.v
+       |                JOIN uinfo ub ON ub.u = b.unit
+       |                WHERE a.unit <> b.unit AND a.comm = b.comm
+       |                GROUP BY a.unit),
+       |      newlbl AS (SELECT uinfo.u, least(uinfo.lbl, coalesce(nbmin.nb, uinfo.lbl)) AS lbl2
+       |                 FROM uinfo LEFT JOIN nbmin ON nbmin.u = uinfo.u)
+       |      SELECT cur2.step, cur2.v, cur2.unit, cur2.comm, newlbl.lbl2
+       |      FROM cur2 JOIN newlbl ON newlbl.u = cur2.unit)
+       |  ))""".stripMargin
+  }
+
   private val SHAPED =
     CC +
       """,
@@ -305,6 +377,12 @@ object SparkEntry {
          |  WHERE rn = 1)
          |SELECT vertex, cluster FROM nonseed
          |UNION ALL SELECT v, v FROM seeds ORDER BY vertex""".stripMargin,
+
+    "q_louvain" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = 10, levels = 3)}
+         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + 10) * 3}
+         |ORDER BY vertex""".stripMargin,
 
     // ---- iterative graph family: recursive-CTE fixpoint replays ----------
     "q_pagerank" ->

@@ -1,19 +1,25 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Distributed Louvain community detection with a resolution parameter — the
-  * engine's counterpart of clusty's Leiden algorithm (reference
-  * src/leiden.h:19-24 exposes resolution/beta/iterations; the reference
-  * delegates the algorithm itself to igraph and ships without it by default,
-  * src/leiden.h:36-50). Deterministic substitute for Leiden's randomized
-  * refinement (`beta` has no counterpart here): synchronous vertex-parallel
-  * move passes with parity damping, then graph coarsening, repeated per
-  * level — the standard distributed-Louvain shape (one aggregation +
-  * bounded joins per pass, every stage partitioned by vertex/community key,
-  * no driver-side data plane).
+/** Distributed Louvain community detection with a resolution parameter and
+  * Leiden's connectedness guarantee — the engine's counterpart of clusty's
+  * Leiden algorithm (reference src/leiden.h:19-24 exposes resolution/beta/
+  * iterations; the reference delegates the algorithm itself to igraph and
+  * ships without it by default, src/leiden.h:36-50). Deterministic
+  * substitute for Leiden's randomized refinement (`beta` has no counterpart
+  * here): synchronous vertex-parallel move passes with parity damping, then
+  * graph coarsening, repeated per level — the standard distributed-Louvain
+  * shape (one aggregation + bounded joins per pass, every stage partitioned
+  * by vertex/community key, no driver-side data plane). Leiden's defining
+  * OUTPUT property — every community induces a connected subgraph — is
+  * enforced by running [[ensureConnected]] per level BEFORE aggregation
+  * (on by default), exactly where Leiden places its refinement phase:
+  * contraction then only merges connected sets and split parts re-merge
+  * with their true neighbors at the next level. The pass is deterministic
+  * and never lowers modularity.
   *
   * Move rule per pass: vertex v moves to the neighboring community c
   * maximizing the resolution-scaled modularity gain
@@ -23,8 +29,12 @@ import org.apache.spark.storage.StorageLevel
   * (argmax ties broken toward the smaller community id; a move happens only
   * on STRICT improvement over staying). Synchronous simultaneous moves can
   * oscillate (two vertices swapping communities forever), so each pass only
-  * permits moves for vertices with `vertex % 2 == pass % 2` — the classic
-  * parity-damping trick, deterministic under any partitioning.
+  * permits moves for vertices with `xxhash64(vertex) % 2 == pass % 2` — the
+  * classic parity-damping trick, deterministic under any partitioning. The
+  * parity is HASHED, not `vertex % 2`: after contraction the vertex ids are
+  * min-member community ids, whose raw parity is heavily skewed (a ring of
+  * 4-cliques contracts to all-even ids, turning raw-parity damping into
+  * no damping at all).
   *
   * Per level, passes stop when a full even+odd round moves nothing; the
   * level's partition is then contracted (communities → super-vertices,
@@ -36,6 +46,30 @@ object Louvain {
 
   final case class Result(assignment: DataFrame, levels: Int)
 
+  /** Leiden's connectedness guarantee as a deterministic post-pass: every
+    * returned community induces a CONNECTED subgraph. Synchronous Louvain
+    * move passes can strand a community across several components (the
+    * classic badly-connected-community artifact Leiden was built to fix,
+    * Traag et al. 2019); splitting such a community into its connected
+    * components never lowers modularity — no inter-component edge is cut,
+    * and the Σ(deg²) penalty only shrinks when a degree mass is split — so
+    * the pass is a pure improvement. One extra CC run over the
+    * intra-community edge set; new labels are the component's min member id
+    * (globally unique across communities since vertex sets are disjoint).
+    * Vertices with no intra-community edge become singletons. */
+  def ensureConnected(spark: SparkSession, edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val a = assignment.select(col("vertex"), col("community"))
+    val intra = edges
+      .join(a.select(col("vertex").as("src"), col("community").as("cs")), "src")
+      .join(a.select(col("vertex").as("dst"), col("community").as("cd")), "dst")
+      .where(col("cs") === col("cd"))
+      .select(col("src"), col("dst"))
+    val comp = ConnectedComponents.run(spark, intra)
+      .select(col("vertex").as("v"), col("component"))
+    a.join(comp, a("vertex") === comp("v"), "left")
+      .select(a("vertex"), coalesce(col("component"), a("vertex")).as("community"))
+  }
+
   /** @param edges (src, dst[, weight]) undirected, any orientation;
     *              self-loops ignored at level 0.
     * @param resolution γ — larger values yield more, smaller communities
@@ -45,9 +79,22 @@ object Louvain {
     * @param maxLevels  coarsening levels.
     * @return (vertex: Long, community: Long); community ids are level-0
     *         vertex ids (deterministic, not dense — renumber downstream). */
+  /** `earlyStop = false` runs EXACTLY maxPasses passes per level and
+    * maxLevels levels (idle passes/levels are no-ops) — combined with
+    * `portableParity` this makes the whole multi-level fixpoint replayable
+    * in SQL: the driver's DuckDB twin re-executes every pass, refinement
+    * step and contraction over the composed assignment. Replay-exactness
+    * holds because every Louvain quantity (k, Σtot, k_v→c, 2m) is an
+    * integer-valued double (sums of 1.0s are exact in any order up to
+    * 2^53), so scores match IEEE-bit-for-bit across engines.
+    * `portableParity` derives the damping parity from md5 of the decimal
+    * vertex id (computable in any engine) instead of xxhash64. */
   def run(spark: SparkSession, edges: DataFrame, resolution: Double = 1.0,
-          maxPasses: Int = 10, maxLevels: Int = 3,
-          weightCol: Option[String] = None): Result = {
+          maxPasses: Int = 20, maxLevels: Int = 4,
+          weightCol: Option[String] = None,
+          connectedGuarantee: Boolean = true,
+          earlyStop: Boolean = true,
+          portableParity: Boolean = false): Result = {
     // canonical weighted undirected edges; parallel edges sum
     val w0 = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     var g = edges.select(col("src").cast("long"), col("dst").cast("long"), w0.as("w"))
@@ -64,9 +111,22 @@ object Louvain {
 
     var level = 0
     var improvedAtLevel = true
-    while (improvedAtLevel && level < maxLevels) {
-      val (comm, moved) = movePhase(spark, g, resolution, maxPasses)
-      improvedAtLevel = moved
+    while ((improvedAtLevel || !earlyStop) && level < maxLevels) {
+      val (commRaw, moved0) = movePhase(spark, g, resolution, maxPasses, earlyStop, portableParity)
+      val moved = moved0 || !earlyStop // fixed schedule: always proceed (no-ops are harmless)
+      // Leiden-style refinement BEFORE aggregation: split communities the
+      // synchronous moves left internally disconnected, so contraction only
+      // ever merges connected sets — the split parts are free to re-merge
+      // with their true neighbors at the next level. By induction every
+      // level's communities (and thus the composed level-0 partition)
+      // induce connected subgraphs.
+      val comm = if (connectedGuarantee && moved) {
+        ensureConnected(spark,
+          g.where(col("a") =!= col("b")).select(col("a").as("src"), col("b").as("dst")),
+          commRaw.select(col("vertex"), col("comm").as("community")))
+          .select(col("vertex"), col("community").as("comm"))
+      } else commRaw
+      improvedAtLevel = moved0
       if (moved) {
         mapping = mapping.join(comm, mapping("cur") === comm("vertex"))
           .select(mapping("vertex"), col("comm").as("cur"))
@@ -86,13 +146,16 @@ object Louvain {
         level += 1
       }
     }
+    // per-level refinement already guarantees connectedness of the composed
+    // partition (see loop)
     Result(mapping.select(col("vertex"), col("cur").as("community")), level)
   }
 
   /** One level's move passes. Returns (vertex, comm) and whether any vertex
     * moved at this level. */
   private def movePhase(spark: SparkSession, g: DataFrame, resolution: Double,
-                        maxPasses: Int): (DataFrame, Boolean) = {
+                        maxPasses: Int, earlyStop: Boolean = true,
+                        portableParity: Boolean = false): (DataFrame, Boolean) = {
     // bi-directed view for per-vertex neighbor scans (self-loops excluded
     // from neighbor mass, included in degree)
     val bi = g.where(col("a") =!= col("b"))
@@ -118,7 +181,7 @@ object Louvain {
     var pass = 0
     var anyMove = false
     var idleStreak = 0
-    while (pass < maxPasses && idleStreak < 2) {
+    while (pass < maxPasses && (!earlyStop || idleStreak < 2)) {
       // Σtot per community
       val tot = comm.join(kv, "vertex").groupBy(col("comm")).agg(sum(col("k")).as("tot"))
       // k_{v→c}: neighbor mass of v into community c
@@ -142,7 +205,7 @@ object Louvain {
           max(when(col("c") === col("cur"), col("score"))).as("stay_score"),
           first(col("cur")).as("cur"))
         .select(col("u").as("vertex"),
-          when(col("u") % 2 === lit(parity) && col("best_score") > col("stay_score"),
+          when(parityBit(col("u"), portableParity) === lit(parity) && col("best_score") > col("stay_score"),
             col("best")).otherwise(col("cur")).as("comm"),
           col("cur").as("old_comm"))
       val nextCk = graft.core.Superstep.checkpoint(next) // materialized by the move-count aggregate
@@ -155,4 +218,11 @@ object Louvain {
     }
     (comm, anyMove)
   }
+
+  /** Damping parity of a vertex id: xxhash64 by default; `portable` derives
+    * it from md5 of the decimal id string (first hex char < '8' → 0), which
+    * any engine can recompute — the knob the SQL-replay oracle needs. */
+  private def parityBit(u: Column, portable: Boolean): Column =
+    if (portable) when(substring(md5(u.cast("string")), 1, 1) < lit("8"), lit(0)).otherwise(lit(1))
+    else pmod(xxhash64(u), lit(2))
 }

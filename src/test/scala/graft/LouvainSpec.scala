@@ -54,6 +54,52 @@ class LouvainSpec extends SparkTestBase {
     assert(qLouvain > 0.5, s"louvain Q=$qLouvain should find the planted structure")
   }
 
+  test("connectedness guarantee: disconnected communities split, Q never drops") {
+    // a hand-built pathological assignment: {0,1} and {2,3} share a label
+    // but have no connecting edge — exactly the badly-connected-community
+    // artifact Leiden fixes
+    val edges = Seq((0L, 1L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val bad = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 4L), (5L, 4L))
+      .toDF("vertex", "community")
+    val fixed = Louvain.ensureConnected(spark, edges, bad)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = fixed.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups == Set(Set(0L, 1L), Set(2L, 3L), Set(4L, 5L)), s"got $groups")
+    val qBad = modOf(Seq((0L, 1L), (2L, 3L), (4L, 5L)),
+      bad.select(col("vertex"), col("community").as("label")))
+    val qFixed = modOf(Seq((0L, 1L), (2L, 3L), (4L, 5L)),
+      Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L), (4L, 4L), (5L, 4L))
+        .toDF("vertex", "label"))
+    assert(qFixed > qBad, s"splitting a disconnected community must raise Q ($qBad -> $qFixed)")
+  }
+
+  test("every Louvain community induces a connected subgraph (random graphs)") {
+    val rnd = new Random(23)
+    for (trial <- 0 until 4) {
+      val n = 30 + trial * 10
+      val edges = (for {
+        a <- 0 until n; b <- a + 1 until n
+        if rnd.nextDouble() < 0.08
+      } yield (a.toLong, b.toLong)).toSeq
+      val assign = Louvain.run(spark, edges.toDF("src", "dst"), resolution = 1.0)
+        .assignment.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // BFS check per community
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      assign.groupBy(_._2).values.map(_.keys.toSet).foreach { members =>
+        val seen = scala.collection.mutable.Set(members.head)
+        val queue = scala.collection.mutable.Queue(members.head)
+        while (queue.nonEmpty) {
+          val v = queue.dequeue()
+          adj.getOrElse(v, Set.empty).intersect(members).diff(seen).foreach { u =>
+            seen += u; queue += u
+          }
+        }
+        assert(seen == members, s"trial $trial: disconnected community $members")
+      }
+    }
+  }
+
   test("higher resolution yields finer partitions") {
     // ring of 6 small cliques, weakly linked: low gamma merges neighbors,
     // high gamma keeps each clique separate
