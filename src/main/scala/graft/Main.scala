@@ -107,7 +107,10 @@ object Main {
     takeOpt("--leiden-beta") // accepted, ignored (deterministic refinement)
     takeOpt("--leiden-iterations").foreach(v => cfg = cfg.copy(leidenIterations = v.toInt))
 
-    require(args.length == 2, s"expected <distances> <assignments>, got: ${args.mkString(" ")}\n$usage")
+    // the two survivors must be the positionals, not leftover option tokens
+    // (e.g. `--algo single` with no paths would otherwise "parse")
+    require(args.length == 2 && !args.exists(_.startsWith("--")),
+      s"expected <distances> <assignments>, got: ${args.mkString(" ")}\n$usage")
     cfg.copy(distances = args(0), output = args(1))
   }
 
@@ -155,9 +158,9 @@ object Main {
       }
 
     val ranks = universe match {
-      case Some(u) if cfg.numericIds =>
-        u.select(col("rank").as("vertex"), col("rank")) // ordinal ids index the objects list
-      case Some(u) => u.select(col("rank").as("vertex"), col("rank")) // vid == rank by buildFromRank
+      // numeric mode: ordinal ids index the objects list; named mode:
+      // vid == rank by buildFromRank — same projection either way
+      case Some(u) => u.select(col("rank").as("vertex"), col("rank"))
       case None => enc.select(col("src").as("vertex")).union(enc.select(col("dst").as("vertex")))
         .distinct().select(col("vertex"), col("vertex").as("rank"))
     }

@@ -14,7 +14,10 @@ object CacheRegistry {
 
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  def register(df: DataFrame): DataFrame = synchronized { frames += df; df }
+  def register(df: DataFrame): DataFrame = synchronized {
+    if (!frames.exists(_ eq df)) frames += df // idempotent per frame instance
+    df
+  }
 
   def clearAll(): Unit = synchronized {
     frames.foreach { df =>

@@ -62,9 +62,11 @@ object BinaryOps {
     * codec). Returns (width, height, dim-bin luminance histogram normalized
     * to sum 1); None if the payload is not a decodable image. */
   def decodeImage(payload: Array[Byte], dim: Int = 8): Option[(Int, Int, Array[Float])] = {
+    // ImageIO plugins throw RuntimeExceptions (not just IOException) on
+    // corrupt bodies — any decode failure must mean None, never a dead task
     val img = try {
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    } catch { case _: java.io.IOException => null }
+    } catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val (w, h) = (img.getWidth, img.getHeight)
@@ -93,6 +95,7 @@ object BinaryOps {
     * ...per-eighth meanAbs] normalized to 16-bit full scale); None if not
     * parseable PCM. */
   def decodeWav(payload: Array[Byte], dim: Int = 8): Option[(Int, Int, Array[Float])] = {
+    require(dim >= 4, s"decodeWav needs dim >= 4 (3 global stats + windows), got $dim")
     if (payload.length < 44 || sniffKind(payload) != "audio/wav") return None
     val buf = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     if (buf.getInt(8) != 0x45564157) return None // "WAVE" LE
@@ -104,7 +107,10 @@ object BinaryOps {
     while (off + 8 <= payload.length) {
       val id = buf.getInt(off)
       val len = buf.getInt(off + 4)
-      if (id == 0x20746d66) { // "fmt "
+      // malformed chunk lengths must reject, not spin (len = -8 makes the
+      // walk non-advancing) or overflow Int (huge len wraps `off` negative)
+      if (len < 0) return None
+      if (id == 0x20746d66 && off + 24 <= payload.length) { // "fmt "
         fmtOk = buf.getShort(off + 8) == 1 && buf.getShort(off + 22) == 16 &&
           buf.getShort(off + 10) == 1 // PCM, 16-bit, mono
         sampleRate = buf.getInt(off + 12)
@@ -112,7 +118,9 @@ object BinaryOps {
         dataOff = off + 8
         dataLen = len min (payload.length - dataOff)
       }
-      off += 8 + len + (len & 1)
+      val next = off.toLong + 8L + len.toLong + (len & 1)
+      if (next > payload.length.toLong) off = payload.length // clean terminate
+      else off = next.toInt
     }
     if (!fmtOk || dataOff < 0) return None
     val n = dataLen / 2

@@ -136,8 +136,24 @@ object Similarity {
     * once per band — and a downstream self-join doubles the whole subtree
     * again. The persisted table is (id, sig:long): tiny at any scale, and
     * exactly what a production pipeline would materialize anyway. */
+  /** Fail-fast guard: the literal plane matrix is dim-specific, and the
+    * kernel's HOF-parity contract maps a length mismatch to an all-zero
+    * signature — at scale that silently degenerates LSH to one bucket (or,
+    * with the bucket cap, to zero results). Sampling ONE row (take(1)
+    * early-exits — never a full scan) catches the common uniform-dimension
+    * mistake and turns the silent wrong answer into an error; rows that
+    * individually deviate in a mixed corpus still follow the documented
+    * zero-signature contract. */
+  private def checkDim(df: DataFrame, vecCol: String, dim: Int, what: String): Unit =
+    df.select(size(col(vecCol)).as("d")).take(1).foreach { r =>
+      if (r.getInt(0) != dim)
+        throw new IllegalArgumentException(
+          s"$what: embedding length ${r.getInt(0)} != configured dim $dim — pass dim explicitly")
+    }
+
   private def bandedIds(df: DataFrame, idCol: String, vecCol: String,
                         nBits: Int, bands: Int, seed: Long, dim: Int): DataFrame = {
+    checkDim(df, vecCol, dim, s"rhpSignature($idCol)")
     val sig = graft.core.CacheRegistry.register(
       df.select(col(idCol), rhpSignature(col(vecCol), nBits, seed, dim).as("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK))

@@ -81,17 +81,45 @@ object EdgeTableSource {
     * cannot — `FilePartition` packs splits by SIZE, so both a global
     * `row_number` window (single-partition funnel) and
     * `monotonically_increasing_id` (partition order ≠ file order) are wrong
-    * at scale. Multi-file directories are ordered by (path asc, offset). */
+    * at scale. Multi-file directories are ordered by (path asc, byte
+    * offset) EXPLICITLY — Hadoop's split enumeration does not promise
+    * listing order, so the files are listed and sorted here and every
+    * record carries its (fileIdx, offset) sort key through one
+    * range-partitioned sort. The header line of EVERY file is skipped
+    * (byte offset 0 ⇔ first line of its file), so a directory of headered
+    * part files does not ingest phantom header objects; blank lines are
+    * dropped. */
   def readObjects(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapred.TextInputFormat
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val rows = spark.sparkContext.textFile(path).zipWithIndex()
-      .filter { case (_, i) => i > 0L } // skip the header line
-      .map { case (line, i) =>
-        val cut = line.indexOf(sep)
-        val field = if (cut >= 0) line.substring(0, cut) else line
-        Row(field.stripSuffix("\r"), i - 1L)
-      }
+    val sc = spark.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+          .filterNot(_.split('/').last.startsWith("_")).sorted.toSeq
+      else Seq(path)
+    val tagged = files.zipWithIndex.map { case (f, fi) =>
+      sc.hadoopFile[LongWritable, Text, TextInputFormat](f)
+        .flatMap { case (off, t) =>
+          if (off.get == 0L) None // this file's header line
+          else {
+            val line = t.toString.stripSuffix("\r")
+            if (line.isEmpty) None
+            else {
+              val cut = line.indexOf(sep)
+              Some(((fi, off.get), if (cut >= 0) line.substring(0, cut) else line))
+            }
+          }
+        }
+    }
+    val rows = sc.union(tagged)
+      .sortBy(_._1) // range-partitioned sort on (fileIdx, byteOffset)
+      .zipWithIndex()
+      .map { case ((_, obj), i) => Row(obj, i) }
     spark.createDataFrame(rows, StructType(Seq(
       StructField("object", StringType, nullable = false),
       StructField("rank", LongType, nullable = false))))

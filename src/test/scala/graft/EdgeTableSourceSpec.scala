@@ -84,6 +84,18 @@ class EdgeTableSourceSpec extends SparkTestBase {
     assert(got == Map("aaa" -> 0L, "aa" -> 1L, "a" -> 2L, "bb" -> 3L, "b" -> 4L, "c" -> 5L))
   }
 
+  test("objects directory: every part file's header skipped, blanks dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-objs-multi")
+    java.nio.file.Files.write(dir.resolve("part-0.tsv"),
+      "object\naaa\naa\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("part-1.tsv"),
+      "object\nbb\n\nb\n".getBytes("UTF-8"))
+    val got = EdgeTableSource.readObjects(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // no phantom "object" rows from file 2's header, no empty-string object
+    assert(got == Map("aaa" -> 0L, "aa" -> 1L, "bb" -> 2L, "b" -> 3L))
+  }
+
   test("end-to-end single-linkage pipeline writes the golden assignments bytes") {
     val p = writeTemp("synth.csv", csv)
     val objsP = writeTemp("objs.tsv", "object\naaa\naa\na\nbb\nb\nc\nd\ne\nf\ng\nxxx\nxx\nx\n")

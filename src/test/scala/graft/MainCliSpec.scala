@@ -84,4 +84,8 @@ class MainCliSpec extends SparkTestBase {
     assert(cfg.outCsv && cfg.distanceKind == graft.ingest.EdgeOps.Similarity)
     assert(cfg.distances == "in.tsv" && cfg.output == "out.tsv")
   }
+
+  test("parse: missing positionals is a usage error, not paths named like options") {
+    intercept[IllegalArgumentException] { Main.parse(Seq("--algo", "single")) }
+  }
 }

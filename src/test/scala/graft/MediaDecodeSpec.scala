@@ -43,6 +43,28 @@ class MediaDecodeSpec extends SparkTestBase {
     assert(BinaryOps.decodeWav(riffNotWave).isEmpty)
   }
 
+  test("malformed RIFF chunk lengths reject cleanly instead of spinning") {
+    // valid RIFF/WAVE magic, then a chunk with len = -8: the naive walk
+    // `off += 8 + len + (len & 1)` would never advance
+    val evil = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(-8)
+      .array()
+    assert(BinaryOps.decodeWav(evil).isEmpty)
+    // huge positive length must not wrap `off` negative either
+    val huge = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(36)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(Int.MaxValue - 2)
+      .array()
+    assert(BinaryOps.decodeWav(huge).isEmpty)
+    // the stats layout needs dim >= 4 — reject loudly, not out-of-bounds
+    intercept[IllegalArgumentException] {
+      BinaryOps.decodeWav(MediaSynth.wavBytes(1L, 10), dim = 3)
+    }
+  }
+
   test("decodeAll routes each kind to its decoder over a mixed corpus") {
     val media = MediaSynth.mediaTable(spark, nPerKind = 10, seed = 5L)
     val rows = BinaryOps.decodeAll(media).collect()

@@ -70,6 +70,14 @@ class SimilaritySpec extends SparkTestBase {
     assert(zeros.forall(r => r.getLong(0) == 0L && r.getLong(1) == 0L))
   }
 
+  test("dimension mismatch fails fast instead of silently zeroing signatures") {
+    val queries = vecs.take(2).toDF("qid", "qvec")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(corpus, queries, k = 5, dim = dim + 1).collect()
+    }
+    assert(ex.getMessage.contains("!= configured dim"))
+  }
+
   test("embedding near-dup pairs finds planted duplicates") {
     val planted = corpus.unionByName(
       Seq((1000L, vecs.head._2.map(v => v * 1.0001f))).toDF("id", "vec"))
