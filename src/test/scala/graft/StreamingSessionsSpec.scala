@@ -90,4 +90,49 @@ class StreamingSessionsSpec extends SparkTestBase {
       (99L, 1L, t0 + 86400000L, t0 + 86400000L, 1L, 0.0)))
     // u98's session is still open: not emitted
   }
+
+  test("checkpoint recovery: restart resumes per-user state, no loss or re-emit") {
+    val dir = Files.createTempDirectory("graft-sess-recov-in").toString
+    val ckpt = Files.createTempDirectory("graft-sess-recov-ck").toString
+    val outDir = Files.createTempDirectory("graft-sess-recov-out").toString
+
+    // durable file sink: the memory sink cannot recover from a checkpoint
+    def startQuery() = {
+      val schema = spark.read.parquet(dir).schema
+      val stream = spark.readStream.schema(schema).parquet(dir)
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+        .withWatermark("ts", "30 minutes")
+        .as[StreamingSessions.SessionEvent]
+      StreamingSessions.sessions(stream, gapMinutes = 30).writeStream
+        .outputMode("append").format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+    }
+
+    // batch 1: u7 opens a session (2 events), then the query is STOPPED
+    Seq((7L, ts(t0), 1.0), (7L, ts(t0 + 5 * MIN), 2.0))
+      .toDF("user_id", "ts", "value").repartition(1).write.mode("append").parquet(dir)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // while down: a third event lands inside the same session window
+    Seq((7L, ts(t0 + 10 * MIN), 4.0))
+      .toDF("user_id", "ts", "value").repartition(1).write.mode("append").parquet(dir)
+
+    // restart from the checkpoint: the open-session state must survive,
+    // so the in-gap event EXTENDS the session instead of starting seq 1
+    // again; a far-future row then flushes it
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      Seq((99L, ts(t0 + 86400000L), 0.0))
+        .toDF("user_id", "ts", "value").repartition(1).write.mode("append").parquet(dir)
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir).as[StreamingSessions.SessionRow]
+        .collect().map(r => (r.user_id, r.session_seq, r.session_start.getTime,
+          r.session_end.getTime, r.n_events, r.value_sum)).toSet
+      assert(got == Set((7L, 1L, t0, t0 + 10 * MIN, 3L, 7.0)),
+        s"state did not survive the restart: $got")
+    } finally q2.stop()
+  }
 }
