@@ -48,6 +48,23 @@ object QueriesDoc {
       TextOps.rollingFingerprintPortable(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
 
+  /** Corpus report rollup — the summary every training-data pipeline runs
+    * after ingest: per language, document/source counts, token volume,
+    * exact median document length and mean quality. One partial-aggregated
+    * shuffle on the (low-cardinality) language key. */
+  def qCorpusStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("source"),
+        TextOps.tokenCount(col("text")).as("toks"),
+        TextOps.qualityScore(col("text")).as("q"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("toks")).cast("long").as("total_tokens"),
+        round(expr("percentile(toks, 0.5)"), 6).as("median_tokens"),
+        round(avg(col("q")), 6).as("avg_quality"))
+      .orderBy("lang")
+
   // ---- dedup ---------------------------------------------------------------
 
   /** Exact dedup keyed on normalized text (SQL-oracle-friendly variant of

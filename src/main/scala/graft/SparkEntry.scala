@@ -56,6 +56,7 @@ object SparkEntry {
     "q_media_decode"     -> (Queries.qMediaDecode _),
     // documents / text
     "q_token_stats"      -> (QueriesDoc.qTokenStats _),
+    "q_corpus_stats"     -> (QueriesDoc.qCorpusStats _),
     "q_text_quality"     -> (QueriesDoc.qTextQuality _),
     "q_langid"           -> (QueriesDoc.qLangId _),
     "q_fingerprint"      -> (QueriesDoc.qFingerprint _),
@@ -601,6 +602,17 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
         |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""SELECT lang,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         |  round(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS median_tokens,
+         |  round(avg(round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |      + (1.0 - least(($PUNCT_RATIO) * 4.0, 1.0)) * 0.3
+         |      + least(($STOP_RATIO) * 3.0, 1.0) * 0.3, 6)), 6) AS avg_quality
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,
