@@ -189,6 +189,14 @@ object Queries {
     r.ranks.select(col("vertex"), round(col("rank"), 6).as("rank")).orderBy("vertex")
   }
 
+  /** BFS hop distances ("click distance") from the lowest-id vertex;
+    * reachable vertices only. */
+  def qBfsHops(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir)
+    val src = e.agg(min(col("src"))).head().getLong(0)
+    graft.graph.ShortestPaths.hops(spark, e, src).orderBy("vertex")
+  }
+
   /** 3-core of the thresholded graph (iterative peeling). */
   def qKCore(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.KCore.coreVertices(spark, edges(spark, sfDir), k = 3).orderBy("vertex")

@@ -40,6 +40,7 @@ object SparkEntry {
     "q_pagerank_weighted" -> (Queries.qPageRankWeighted _),
     "q_modularity"       -> (Queries.qModularity _),
     "q_kcore"            -> (Queries.qKCore _),
+    "q_bfs_hops"         -> (Queries.qBfsHops _),
     "q_hits"             -> (Queries.qHits _),
     "q_ppr"              -> (Queries.qPageRankPersonalized _),
     "q_vertex_jaccard"   -> (Queries.qVertexJaccard _),
@@ -487,6 +488,20 @@ object SparkEntry {
          |    FROM kc WHERE iter < 60
          |  ) WHERE ds >= 3 AND dd >= 3)
          |SELECT DISTINCT src AS vertex FROM kc WHERE iter = 60 ORDER BY vertex""".stripMargin,
+
+    // BFS levels from the min source: (v, dist) pairs enumerate breadth-
+    // first with a depth cap far past the measured eccentricity (10);
+    // UNION dedups pairs so the recursion terminates, min() settles each v
+    "q_bfs_hops" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |s AS (SELECT min(src) AS v FROM e),
+         |d(v, dist) AS (
+         |  SELECT v, 0 FROM s
+         |  UNION
+         |  SELECT bi.dst, d.dist + 1 FROM d JOIN bi ON d.v = bi.src WHERE d.dist < 40)
+         |SELECT v AS vertex, CAST(min(dist) AS BIGINT) AS dist FROM d
+         |GROUP BY v ORDER BY vertex""".stripMargin,
 
     "q_triangles" ->
       s"""WITH $EDGES_T2

@@ -1,0 +1,50 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unweighted single-source shortest paths (BFS hop levels) over the
+  * undirected graph — "click distance" on a link graph.
+  *
+  * Pregel-style frontier expansion: one superstep = frontier ⋈ edges →
+  * candidate neighbors (min-aggregated map-side), anti-joined against the
+  * settled set; converges in eccentricity(source) supersteps (each a
+  * constant number of hash-partitioned exchanges — no global funnel).
+  * Loop state goes through [[graft.core.Superstep.checkpoint]], keeping the
+  * logical plan O(1) across supersteps. Returns (vertex, dist) for
+  * REACHABLE vertices only — at web scale the unreachable complement is the
+  * overwhelming majority and materializing it would be wasteful; left-join
+  * downstream if absent-means-infinity semantics are needed.
+  */
+object ShortestPaths {
+
+  def hops(spark: SparkSession, edges: DataFrame, source: Long,
+           maxIter: Int = 64): DataFrame = {
+    import spark.implicits._
+    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    // parallel edges are harmless under the min-aggregate — no distinct
+    val bi = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+
+    var settled = Seq((source, 0L)).toDF("vertex", "dist")
+      .transform(graft.core.Superstep.checkpoint(_, eager = true))
+    var frontier = settled
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val cand = frontier.join(bi, frontier("vertex") === bi("src"))
+        .select(bi("dst").as("vertex"), (frontier("dist") + lit(1L)).as("dist"))
+        .groupBy("vertex").agg(min(col("dist")).as("dist"))
+      val next = graft.core.Superstep.checkpoint(
+        cand.join(settled.select("vertex"), Seq("vertex"), "left_anti"), eager = true)
+      if (next.isEmpty) done = true
+      else {
+        settled = graft.core.Superstep.checkpoint(settled.unionByName(next), eager = true)
+        frontier = next
+        it += 1
+      }
+    }
+    settled
+  }
+}

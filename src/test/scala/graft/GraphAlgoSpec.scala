@@ -179,4 +179,23 @@ class GraphAlgoSpec extends SparkTestBase {
     val pv = TriangleCount.perVertex(spark, edgeDf).collect().map(_.getLong(1)).sum
     assert(pv == 3 * cnt)
   }
+
+  test("BFS hop distances match a plain-Scala BFS oracle; unreachable absent") {
+    val source = vertices.min
+    // plain-Scala level-order BFS
+    val dist = mutable.Map(source -> 0L)
+    var frontier = Set(source)
+    var level = 0L
+    while (frontier.nonEmpty) {
+      level += 1
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = level)
+    }
+    val got = graft.graph.ShortestPaths.hops(spark, edgeDf, source)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist.toMap)
+    // the seeded graph has 3 islands: the other two must be absent, not 0
+    assert(!got.keySet.exists(_ >= 30L))
+  }
 }
