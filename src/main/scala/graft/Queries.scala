@@ -197,6 +197,17 @@ object Queries {
     graft.graph.ShortestPaths.hops(spark, e, src).orderBy("vertex")
   }
 
+  /** Weighted shortest-path distances (edge length = 1/co-occurrence
+    * weight) from the lowest-id vertex; fixed 30 Bellman-Ford supersteps
+    * (converged by ~20 on this data — the no-op tail keeps the DuckDB
+    * replay aligned). */
+  def qSsspWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = distEdges(spark, sfDir)
+    val src = e.agg(min(col("src"))).head().getLong(0)
+    graft.graph.ShortestPaths.weighted(spark, e, src)
+      .select(col("vertex"), round(col("dist"), 6).as("dist")).orderBy("vertex")
+  }
+
   /** 3-core of the thresholded graph (iterative peeling). */
   def qKCore(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.KCore.coreVertices(spark, edges(spark, sfDir), k = 3).orderBy("vertex")

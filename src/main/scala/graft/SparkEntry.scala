@@ -41,6 +41,7 @@ object SparkEntry {
     "q_modularity"       -> (Queries.qModularity _),
     "q_kcore"            -> (Queries.qKCore _),
     "q_bfs_hops"         -> (Queries.qBfsHops _),
+    "q_sssp_weighted"    -> (Queries.qSsspWeighted _),
     "q_hits"             -> (Queries.qHits _),
     "q_ppr"              -> (Queries.qPageRankPersonalized _),
     "q_vertex_jaccard"   -> (Queries.qVertexJaccard _),
@@ -502,6 +503,24 @@ object SparkEntry {
          |  SELECT bi.dst, d.dist + 1 FROM d JOIN bi ON d.v = bi.src WHERE d.dist < 40)
          |SELECT v AS vertex, CAST(min(dist) AS BIGINT) AS dist FROM d
          |GROUP BY v ORDER BY vertex""".stripMargin,
+
+    // fixed-iteration Bellman-Ford replay: per-iteration min over (carry ∪
+    // relaxed-in-neighbors); candidate sums accumulate in path order on
+    // both engines, so the mins agree bit-for-bit (rounded for output)
+    "q_sssp_weighted" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst, CAST(1.0 AS DOUBLE)/CAST(weight AS DOUBLE) AS w FROM e
+         |       UNION ALL SELECT dst, src, CAST(1.0 AS DOUBLE)/CAST(weight AS DOUBLE) FROM e),
+         |s AS (SELECT min(src) AS v FROM e),
+         |d(iter, v, dist) AS (
+         |  SELECT 0, v, CAST(0.0 AS DOUBLE) FROM s
+         |  UNION ALL
+         |  SELECT iter + 1, v, min(dist) FROM (
+         |    SELECT d.iter, d.v, d.dist FROM d WHERE iter < 30
+         |    UNION ALL
+         |    SELECT d.iter, bi.dst, d.dist + bi.w FROM d JOIN bi ON d.v = bi.src WHERE iter < 30
+         |  ) GROUP BY iter, v)
+         |SELECT v AS vertex, round(dist, 6) AS dist FROM d WHERE iter = 30 ORDER BY vertex""".stripMargin,
 
     "q_triangles" ->
       s"""WITH $EDGES_T2

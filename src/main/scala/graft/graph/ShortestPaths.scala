@@ -18,6 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object ShortestPaths {
 
+  /** Weighted single-source shortest paths (Bellman-Ford supersteps) over
+    * the undirected graph with non-negative `weightCol` edge lengths —
+    * "strongest path" distance when lengths are 1/similarity. FIXED
+    * iteration count (extra iterations past the fixpoint are no-ops),
+    * which is what lets the DuckDB oracle replay the per-iteration min
+    * exactly: each candidate distance is a sum accumulated in path order
+    * on both engines, so the mins agree IEEE-bit-for-bit. Reachable
+    * vertices only, like [[hops]]. */
+  def weighted(spark: SparkSession, edges: DataFrame, source: Long,
+               weightCol: String = "weight", iters: Int = 30): DataFrame = {
+    import spark.implicits._
+    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .where(col("src") =!= col("dst"))
+    val bi = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .localCheckpoint(true)
+
+    var dist = Seq((source, 0.0)).toDF("vertex", "dist")
+      .transform(graft.core.Superstep.checkpoint(_, eager = true))
+    for (_ <- 0 until iters) {
+      val relaxed = dist.join(bi, dist("vertex") === bi("src"))
+        .select(bi("dst").as("vertex"), (dist("dist") + bi("w")).as("dist"))
+      dist = graft.core.Superstep.checkpoint(
+        dist.unionByName(relaxed).groupBy("vertex").agg(min(col("dist")).as("dist")),
+        eager = true)
+    }
+    dist
+  }
+
   def hops(spark: SparkSession, edges: DataFrame, source: Long,
            maxIter: Int = 64): DataFrame = {
     import spark.implicits._

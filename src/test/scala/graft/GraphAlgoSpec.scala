@@ -198,4 +198,38 @@ class GraphAlgoSpec extends SparkTestBase {
     // the seeded graph has 3 islands: the other two must be absent, not 0
     assert(!got.keySet.exists(_ >= 30L))
   }
+
+  test("weighted SSSP matches a plain-Scala Dijkstra oracle") {
+    val source = vertices.min
+    // seeded per-edge weights; undirected min per pair like the engine
+    val wEdges = rawEdges.zipWithIndex.map { case ((a, b), i) =>
+      (a, b, 0.5 + (i % 7) * 0.25)
+    }
+    val wadj = mutable.Map.empty[Long, mutable.Map[Long, Double]]
+    wEdges.foreach { case (a, b, w) =>
+      val ma = wadj.getOrElseUpdate(a, mutable.Map.empty)
+      ma(b) = math.min(ma.getOrElse(b, Double.MaxValue), w)
+      val mb = wadj.getOrElseUpdate(b, mutable.Map.empty)
+      mb(a) = math.min(mb.getOrElse(a, Double.MaxValue), w)
+    }
+    val dist = mutable.Map(source -> 0.0)
+    val pq = mutable.PriorityQueue((0.0, source))(Ordering.by(-_._1))
+    val doneV = mutable.Set.empty[Long]
+    while (pq.nonEmpty) {
+      val (dv, v) = pq.dequeue()
+      if (!doneV(v) && dv <= dist(v)) {
+        doneV += v
+        wadj.getOrElse(v, mutable.Map.empty).foreach { case (u, w) =>
+          if (dv + w < dist.getOrElse(u, Double.MaxValue)) {
+            dist(u) = dv + w; pq.enqueue((dv + w, u))
+          }
+        }
+      }
+    }
+    val got = graft.graph.ShortestPaths.weighted(spark,
+        wEdges.toDF("src", "dst", "weight"), source, iters = 40)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == dist.keySet)
+    got.foreach { case (v, d) => assert(math.abs(d - dist(v)) < 1e-9, s"vertex $v") }
+  }
 }
