@@ -267,6 +267,16 @@ object Queries {
     GreedyClustering.run(spark, distEdges(spark, sfDir), vertexRanks(spark, sfDir),
       GreedyClustering.Uclust, precomputedCC = Some(cc(spark, sfDir))).orderBy("vertex")
 
+  /** Weighted Louvain (edge mass = co-occurrence count — clusty's Leiden
+    * similarly weighs edges by similarity, src/leiden.h:85-106). Same fixed
+    * replayable schedule as q_louvain; the exactness argument carries over
+    * because the weights are integer counts. */
+  def qLouvainWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Louvain.run(spark, edges(spark, sfDir), resolution = 0.7,
+      maxPasses = 4, maxLevels = 3, weightCol = Some("weight"),
+      earlyStop = false, portableParity = true)
+      .assignment.orderBy("vertex")
+
   /** Rows-only at the driver: each agglomerative merge depends on a global
     * argmin whose tie order follows the heap's insertion sequence — with
     * integer-derived distances, ties are pervasive and a SQL replay of the

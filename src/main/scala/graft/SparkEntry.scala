@@ -47,6 +47,7 @@ object SparkEntry {
     "q_vertex_jaccard"   -> (Queries.qVertexJaccard _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
     "q_louvain"          -> (Queries.qLouvain _),
+    "q_louvain_weighted" -> (Queries.qLouvainWeighted _),
     // greedy clusterings (clusty C2-C5; sequential-per-component, no SQL twin)
     "q_setcover"         -> (Queries.qSetCover _),
     "q_cdhit"            -> (Queries.qCdHit _),
@@ -188,12 +189,15 @@ object SparkEntry {
     * grouped by the composed labels — identical VALUES to the coarse-graph
     * aggregates the Spark side computes, and exact integers, so the gain
     * scores `kc − ((γ·k)·(Σtot−adj))/2m` match IEEE-bit-for-bit. */
-  private def LOUVAIN_SQL(gamma: Double, passes: Int, ccSteps: Int, levels: Int): String = {
+  private def LOUVAIN_SQL(gamma: Double, passes: Int, ccSteps: Int, levels: Int,
+                          weighted: Boolean = false): String = {
     val cycle = passes + ccSteps
     val total = cycle * levels
-    s"""bi AS (SELECT src AS x, dst AS y FROM e UNION ALL SELECT dst, src FROM e),
+    val w = if (weighted) "CAST(weight AS DOUBLE)" else "CAST(1.0 AS DOUBLE)"
+    s"""bi AS (SELECT src AS x, dst AS y, $w AS bw FROM e
+       |      UNION ALL SELECT dst, src, $w FROM e),
        |lverts AS (SELECT DISTINCT x AS v FROM bi),
-       |lmm AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM bi),
+       |lmm AS (SELECT sum(bw) AS m2 FROM bi),
        |lst(step, v, unit, comm, lbl) AS (
        |  SELECT 0, v, v, v, v FROM lverts
        |  UNION ALL
@@ -201,11 +205,11 @@ object SparkEntry {
        |    WITH cur AS (SELECT * FROM lst WHERE step % $cycle < $passes AND step < $total),
        |    vu AS (SELECT v, unit, comm FROM cur),
        |    units AS (SELECT DISTINCT unit AS u, comm FROM cur),
-       |    k AS (SELECT vu.unit AS u, CAST(count(*) AS DOUBLE) AS k
+       |    k AS (SELECT vu.unit AS u, sum(bi.bw) AS k
        |          FROM bi JOIN vu ON bi.x = vu.v GROUP BY vu.unit),
        |    tot AS (SELECT units.comm AS c, sum(k.k) AS tot
        |            FROM units JOIN k ON k.u = units.u GROUP BY units.comm),
-       |    kvc AS (SELECT a.unit AS u, b.comm AS c, CAST(count(*) AS DOUBLE) AS kc
+       |    kvc AS (SELECT a.unit AS u, b.comm AS c, sum(bi.bw) AS kc
        |            FROM bi JOIN vu a ON bi.x = a.v JOIN vu b ON bi.y = b.v
        |            WHERE a.unit <> b.unit GROUP BY a.unit, b.comm),
        |    cand AS (SELECT u, c, sum(kc) AS kc FROM (
@@ -384,6 +388,12 @@ object SparkEntry {
     "q_louvain" ->
       s"""WITH RECURSIVE $EDGES_T2,
          |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = 10, levels = 3)}
+         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + 10) * 3}
+         |ORDER BY vertex""".stripMargin,
+
+    "q_louvain_weighted" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = 10, levels = 3, weighted = true)}
          |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + 10) * 3}
          |ORDER BY vertex""".stripMargin,
 
