@@ -4,15 +4,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every query has a DuckDB-runnable SQL twin in [[oracleSql]] unless the
-  * operator is genuinely not SQL-expressible (hash-function-dependent
-  * sketches, sequential greedy clusterings, binary-stub media queries — those
-  * get the driver's rows-only check plus in-test Scala oracles, see src/test).
-  * The iterative graph family (PageRank variants, HITS, LPA, k-core) IS
-  * oracled: the catalog queries run a FIXED superstep count and the DuckDB
-  * twins replay the identical fixpoint path with recursive CTEs (aggregates
-  * and windows in the recursive term are legal in DuckDB), doubles rounded
-  * to 6 dp on both sides to absorb float-sum reorder noise.
+  * Every query has a DuckDB-runnable SQL twin in [[oracleSql]] except the
+  * four genuinely non-SQL-expressible rows (the three JDK-ImageIO media
+  * queries and complete linkage, whose merge order follows heap-insertion
+  * tie-breaking) — those get the driver's rows-only check plus in-test
+  * Scala oracles, see src/test. Three oracle techniques cover the rest:
+  *
+  *  1. fixed-schedule fixpoint replay (PageRank variants, HITS, LPA,
+  *     k-core, BFS/weighted SSSP, greedy-MIS covers, k-means IVF, and the
+  *     full multi-level Louvain incl. its refinement steps): the catalog
+  *     query runs a FIXED superstep count and a recursive CTE replays the
+  *     identical path — integer-valued masses make scores IEEE-exact,
+  *     genuinely reordered float sums are rounded to 6 dp on both sides;
+  *  2. cross-engine-reproducible sketches (fingerprints, simhash, RHP-LSH
+  *     planes, damping parities) derived from md5, which every engine
+  *     computes identically;
+  *  3. subset-equality (MinHash pairs, near-dup clusters): the Spark side
+  *     verifies LSH candidates with the exact measure, so its output is a
+  *     subset of the brute-force pair set by construction and equal counts
+  *     prove equal sets — the brute SQL doubles as a recall-1.0 proof.
   */
 object SparkEntry {
 
