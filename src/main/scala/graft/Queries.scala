@@ -193,8 +193,13 @@ object Queries {
     * reachable vertices only. */
   def qBfsHops(spark: SparkSession, sfDir: String): DataFrame = {
     val e = edges(spark, sfDir)
-    val src = e.agg(min(col("src"))).head().getLong(0)
-    graft.graph.ShortestPaths.hops(spark, e, src).orderBy("vertex")
+    val srcRow = e.agg(min(col("src"))).head()
+    if (srcRow.isNullAt(0)) { // empty graph: empty result, like the SQL twin
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("vertex", "dist")
+    }
+    graft.graph.ShortestPaths.hops(spark, e, srcRow.getLong(0), maxIter = 40)
+      .orderBy("vertex")
   }
 
   /** Weighted shortest-path distances (edge length = 1/co-occurrence
@@ -203,8 +208,12 @@ object Queries {
     * replay aligned). */
   def qSsspWeighted(spark: SparkSession, sfDir: String): DataFrame = {
     val e = distEdges(spark, sfDir)
-    val src = e.agg(min(col("src"))).head().getLong(0)
-    graft.graph.ShortestPaths.weighted(spark, e, src)
+    val srcRow = e.agg(min(col("src"))).head()
+    if (srcRow.isNullAt(0)) { // empty graph: empty result, like the SQL twin
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("vertex", "dist")
+    }
+    graft.graph.ShortestPaths.weighted(spark, e, srcRow.getLong(0))
       .select(col("vertex"), round(col("dist"), 6).as("dist")).orderBy("vertex")
   }
 

@@ -192,8 +192,9 @@ object SparkEntry {
   /** Full SQL replay of the fixed-schedule Louvain catalog run (see
     * Queries.qLouvain): state machine over the COMPOSED level-0 assignment,
     * one recursive step per move pass or refinement min-label step.
-    * Cycle = 4 move passes + 10 refinement steps (measured propagation
-    * depth ≤ 5; extra steps are no-ops), × 3 levels = 42 steps. At a level
+    * Cycle = 4 move passes + 16 refinement steps (measured propagation
+    * depth ≤ 5 — 3x margin since the Spark side runs its CC to full
+    * convergence; extra steps are no-ops), × 3 levels = 60 steps. At a level
     * boundary (next step ≡ 0 mod 14) the refined label becomes the new
     * super-vertex (contraction). All masses are counts of base bi-edges
     * grouped by the composed labels — identical VALUES to the coarse-graph
@@ -397,14 +398,14 @@ object SparkEntry {
 
     "q_louvain" ->
       s"""WITH RECURSIVE $EDGES_T2,
-         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = 10, levels = 3)}
-         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + 10) * 3}
+         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = 16, levels = 3)}
+         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + 16) * 3}
          |ORDER BY vertex""".stripMargin,
 
     "q_louvain_weighted" ->
       s"""WITH RECURSIVE $EDGES_T2,
-         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = 10, levels = 3, weighted = true)}
-         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + 10) * 3}
+         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = 16, levels = 3, weighted = true)}
+         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + 16) * 3}
          |ORDER BY vertex""".stripMargin,
 
     // ---- iterative graph family: recursive-CTE fixpoint replays ----------
@@ -511,8 +512,10 @@ object SparkEntry {
          |SELECT DISTINCT src AS vertex FROM kc WHERE iter = 60 ORDER BY vertex""".stripMargin,
 
     // BFS levels from the min source: (v, dist) pairs enumerate breadth-
-    // first with a depth cap far past the measured eccentricity (10);
-    // UNION dedups pairs so the recursion terminates, min() settles each v
+    // first with a depth cap of 40 — the SAME cap the Spark side passes as
+    // maxIter (both far past the measured eccentricity of 10, and aligned
+    // so neither side can settle a vertex the other cannot); UNION dedups
+    // pairs so the recursion terminates, min() settles each v
     "q_bfs_hops" ->
       s"""WITH RECURSIVE $EDGES_T2,
          |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),

@@ -65,11 +65,14 @@ object ShortestPaths {
       val cand = frontier.join(bi, frontier("vertex") === bi("src"))
         .select(bi("dst").as("vertex"), (frontier("dist") + lit(1L)).as("dist"))
         .groupBy("vertex").agg(min(col("dist")).as("dist"))
+      // 1-job-per-superstep discipline: lazy checkpoints, materialized by
+      // the single count() (the settled union folds into the next
+      // superstep's first action)
       val next = graft.core.Superstep.checkpoint(
-        cand.join(settled.select("vertex"), Seq("vertex"), "left_anti"), eager = true)
-      if (next.isEmpty) done = true
+        cand.join(settled.select("vertex"), Seq("vertex"), "left_anti"))
+      if (next.count() == 0L) done = true
       else {
-        settled = graft.core.Superstep.checkpoint(settled.unionByName(next), eager = true)
+        settled = graft.core.Superstep.checkpoint(settled.unionByName(next))
         frontier = next
         it += 1
       }

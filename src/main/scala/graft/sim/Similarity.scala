@@ -143,10 +143,11 @@ object Similarity {
     * early-exits — never a full scan) catches the common uniform-dimension
     * mistake and turns the silent wrong answer into an error; rows that
     * individually deviate in a mixed corpus still follow the documented
-    * zero-signature contract. */
+    * zero-signature contract (as does a null first vector — the check only
+    * fires on a definite mismatch). */
   private def checkDim(df: DataFrame, vecCol: String, dim: Int, what: String): Unit =
     df.select(size(col(vecCol)).as("d")).take(1).foreach { r =>
-      if (r.getInt(0) != dim)
+      if (!r.isNullAt(0) && r.getInt(0) != dim && r.getInt(0) >= 0)
         throw new IllegalArgumentException(
           s"$what: embedding length ${r.getInt(0)} != configured dim $dim — pass dim explicitly")
     }

@@ -97,11 +97,15 @@ object EdgeTableSource {
     val sc = spark.sparkContext
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(sc.hadoopConfiguration)
-    val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-          .filterNot(_.split('/').last.startsWith("_")).sorted.toSeq
-      else Seq(path)
+    // globStatus handles literal paths AND patterns (matching textFile's
+    // old glob support); hidden-file filter mirrors FileInputFormat's
+    // ('.'-prefixed sidecars like .crc, and '_'-prefixed markers)
+    def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    require(matched.nonEmpty, s"objects path matches nothing: $path")
+    val files: Seq[String] = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
+    }.map(_.getPath).filter(pp => visible(pp.getName)).map(_.toString).sorted.toSeq
     val tagged = files.zipWithIndex.map { case (f, fi) =>
       sc.hadoopFile[LongWritable, Text, TextInputFormat](f)
         .flatMap { case (off, t) =>
