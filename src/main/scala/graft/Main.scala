@@ -146,16 +146,27 @@ object Main {
     val rawEdges = EdgeTableSource.read(spark, cfg.distances, opts)
     val universe = cfg.objectsFile.map(EdgeTableSource.readObjects(spark, _))
 
-    // dictionary: objects-file rank order when present (reference semantics),
-    // else deterministic lexicographic ids; numeric mode uses ids directly
-    val (enc, dict) =
-      if (cfg.numericIds) (rawEdges, None)
-      else {
-        val d = universe.map(Dictionary.buildFromRank)
-          .getOrElse(Dictionary.buildSorted(
-            rawEdges.select(col("src")).union(rawEdges.select(col("dst"))), "src"))
+    // Dictionary: objects-file rank order when present (reference seeds
+    // cluster ids in objects order, console.cpp:218/reorderObjects); without
+    // one, FIRST-APPEARANCE order of the filtered edge stream — the
+    // reference's sequential local ids (graph_named.h:215-247) — recovered
+    // distributedly from line offsets so tie-breaks renumber identically.
+    // Numeric mode: ids are already the vids (ordinals into the objects list
+    // when given, reference README.md:217); the dictionary is then only a
+    // DECODER (the reference prints objects-file NAMES, graph_numbered.h:322).
+    val (enc, dict) = (cfg.numericIds, universe) match {
+      case (true, Some(u)) =>
+        (rawEdges, Some(Dictionary.buildFromRank(u)))
+      case (true, None) =>
+        val fa = EdgeTableSource.firstAppearanceRanks(spark, cfg.distances, opts)
+        val d = fa.select(col("object").cast("long").as("object"), col("rank").as("vid"))
         (Dictionary.encodeEdges(rawEdges, d), Some(d))
-      }
+      case (false, _) =>
+        val d = universe.map(Dictionary.buildFromRank).getOrElse(
+          Dictionary.buildFromRank(
+            EdgeTableSource.firstAppearanceRanks(spark, cfg.distances, opts)))
+        (Dictionary.encodeEdges(rawEdges, d), Some(d))
+    }
 
     val ranks = universe match {
       // numeric mode: ordinal ids index the objects list; named mode:
@@ -185,27 +196,25 @@ object Main {
 
     // decode vids → names, shape the output like the reference: size-renumber,
     // append universe singletons, order by (cluster, representativeness)
-    val named = dict match {
-      case Some(d) => Dictionary.decode(assignVid, d, vidCol = "vertex")
-        .select(col("object"), col("cluster"))
-      case None => assignVid.select(col("vertex").cast("string").as("object"), col("cluster"))
-    }
+    val named = Dictionary.decode(assignVid, dict.get, vidCol = "vertex")
+      .select(col("object"), col("cluster"))
     val renumbered = Shaping.renumberBySize(named).select(col("object"), col("cluster"))
     val full = universe match {
-      case Some(u) => Shaping.appendSingletons(renumbered,
-        if (cfg.numericIds) u.select(col("rank").cast("string").as("object"), col("rank")) else u)
+      case Some(u) => Shaping.appendSingletons(renumbered, u)
       case None => renumbered
     }
     universe match {
       case Some(u) =>
-        val uu = if (cfg.numericIds) u.select(col("rank").cast("string").as("object"), col("rank")) else u
-        val withRank = full.join(uu, "object")
+        val withRank = full.join(u, "object")
         if (cfg.outRepresentatives)
           Shaping.fillRepresentatives(withRank, rankCol = Some("rank"))
-            .join(uu, "object").orderBy(col("cluster"), col("rank"))
+            .join(u, "object").orderBy(col("cluster"), col("rank"))
             .select(col("object"), col("cluster_rep"), col("cluster"))
         else withRank.orderBy(col("cluster"), col("rank")).select(col("object"), col("cluster"))
       case None =>
+        // reference order: (cluster, name) named / (cluster, numeric id)
+        // numeric — the numeric path keeps `object` as long, so one sort
+        // expression serves both (graph_named.h:307, graph_numbered.h:306)
         if (cfg.outRepresentatives)
           Shaping.fillRepresentatives(full).orderBy(col("cluster"), col("object"))
             .select(col("object"), col("cluster_rep"), col("cluster"))

@@ -90,10 +90,29 @@ object EdgeTableSource {
     * part files does not ingest phantom header objects; blank lines are
     * dropped. */
   def readObjects(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
-    import org.apache.hadoop.io.{LongWritable, Text}
-    import org.apache.hadoop.mapred.TextInputFormat
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val rows = orderedLines(spark, path)
+      .map { case (key, line) =>
+        val cut = line.indexOf(sep)
+        (key, if (cut >= 0) line.substring(0, cut) else line)
+      }
+      .sortBy(_._1) // range-partitioned sort on (fileIdx, byteOffset)
+      .zipWithIndex()
+      .map { case ((_, obj), i) => Row(obj, i) }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("object", StringType, nullable = false),
+      StructField("rank", LongType, nullable = false))))
+  }
+
+  /** Non-header, non-empty lines of a file/directory/glob, each keyed by its
+    * deterministic physical position `(fileIdx, byteOffset)` — the shared
+    * scanner behind [[readObjects]] and [[firstAppearanceRanks]] (see the S5
+    * scaladoc above for why a DataFrame scan cannot recover line order). */
+  private def orderedLines(spark: SparkSession, path: String)
+      : org.apache.spark.rdd.RDD[((Int, Long), String)] = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapred.TextInputFormat
     val sc = spark.sparkContext
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(sc.hadoopConfiguration)
@@ -102,7 +121,7 @@ object EdgeTableSource {
     // ('.'-prefixed sidecars like .crc, and '_'-prefixed markers)
     def visible(n: String) = !n.startsWith("_") && !n.startsWith(".")
     val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
-    require(matched.nonEmpty, s"objects path matches nothing: $path")
+    require(matched.nonEmpty, s"input path matches nothing: $path")
     val files: Seq[String] = matched.flatMap { st =>
       if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
     }.map(_.getPath).filter(pp => visible(pp.getName)).map(_.toString).sorted.toSeq
@@ -112,20 +131,73 @@ object EdgeTableSource {
           if (off.get == 0L) None // this file's header line
           else {
             val line = t.toString.stripSuffix("\r")
-            if (line.isEmpty) None
-            else {
-              val cut = line.indexOf(sep)
-              Some(((fi, off.get), if (cut >= 0) line.substring(0, cut) else line))
-            }
+            if (line.isEmpty) None else Some(((fi, off.get), line))
           }
         }
     }
-    val rows = sc.union(tagged)
-      .sortBy(_._1) // range-partitioned sort on (fileIdx, byteOffset)
+    sc.union(tagged)
+  }
+
+  /** J1 first-appearance ranks: `(object, rank)` where rank is the dense
+    * 0-based order in which each id is FIRST seen scanning the edge table
+    * row by row, first id column before second (header order, the S2
+    * normalization), counting only rows that survive the P2 range filters
+    * and P3 self-loop drop — exactly the reference's sequential local-id
+    * assignment (src/graph_named.h:215-247 registers names per surviving
+    * edge; filtered rows never reach updateMappings). This is what makes a
+    * no-`--objects-file` CLI run bit-compatible with the reference: cluster
+    * ids there are seeded in local-id order (src/single_bfs.h), and the
+    * size-renumber breaks ties by that order (stable_sort,
+    * src/graph.cpp:42).
+    *
+    * Distributed shape: the line scan is embarrassingly parallel; order is
+    * recovered from the (fileIdx, byteOffset) key by one range-partitioned
+    * sort + zipWithIndex (same justified RDD hop as [[readObjects]]), then
+    * a min-aggregate per name and one more dense ranking. */
+  def firstAppearanceRanks(spark: SparkSession, path: String,
+                           opts: Options = Options()): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val sepRegex = java.util.regex.Pattern.quote(opts.sep)
+    val header0 = spark.sparkContext.textFile(path).first().stripSuffix("\r")
+    val header = header0.split(sepRegex, -1).map(_.trim)
+    require(header.length >= 3,
+      s"edge table needs >= 3 columns (two ids + distance), got ${header.length}")
+    def idx(name: String): Int = {
+      val i = header.indexOf(name)
+      require(i >= 0, s"column '$name' not in header ${header.mkString(",")}")
+      i
+    }
+    val (a, b) = opts.idCols match {
+      case None => (0, 1)
+      case Some((x, y)) => (idx(x), idx(y))
+    }
+    val (i1, i2) = if (a <= b) (a, b) else (b, a) // S2 order normalization
+    val filt: Array[(Int, Double, Double)] = opts.filters.map(f =>
+      (idx(f.column), f.min.getOrElse(Double.NegativeInfinity),
+        f.max.getOrElse(Double.PositiveInfinity))).toArray
+    val dropSelf = opts.dropSelfLoops
+    val needed = (Seq(i1, i2) ++ filt.map(_._1)).max + 1
+
+    val pairs = orderedLines(spark, path).flatMap { case ((fi, off), line) =>
+      val toks = line.split(sepRegex, -1)
+      val ok = toks.length >= needed &&
+        filt.forall { case (c, mn, mx) =>
+          val v = toks(c).trim.toDouble; v >= mn && v <= mx } &&
+        (!dropSelf || toks(i1) != toks(i2))
+      if (ok) Seq(((fi, off, 0), toks(i1)), ((fi, off, 1), toks(i2))) else Nil
+    }
+    val firstSeen = pairs
+      .sortBy(_._1)
       .zipWithIndex()
-      .map { case ((_, obj), i) => Row(obj, i) }
-    spark.createDataFrame(rows, StructType(Seq(
+      .map { case ((_, name), ord) => (name, ord) }
+      .reduceByKey(math.min(_, _))
+      .map { case (name, ord) => Row(name, ord) }
+    val df = spark.createDataFrame(firstSeen, StructType(Seq(
       StructField("object", StringType, nullable = false),
-      StructField("rank", LongType, nullable = false))))
+      StructField("ord", LongType, nullable = false))))
+    graft.core.Ranking.withGlobalRank(df, "rank", org.apache.spark.sql.functions.col("ord").asc)
+      .select(org.apache.spark.sql.functions.col("object"),
+        org.apache.spark.sql.functions.col("rank"))
   }
 }
