@@ -213,7 +213,7 @@ object Queries {
       import spark.implicits._
       return Seq.empty[(Long, Double)].toDF("vertex", "dist")
     }
-    graft.graph.ShortestPaths.weighted(spark, e, srcRow.getLong(0))
+    graft.graph.ShortestPaths.weighted(spark, e, srcRow.getLong(0), fixedIters = Some(30))
       .select(col("vertex"), round(col("dist"), 6).as("dist")).orderBy("vertex")
   }
 
@@ -241,10 +241,11 @@ object Queries {
     * over the composed assignment. Replay exactness holds because all
     * Louvain quantities are integer-valued doubles (order-free exact sums),
     * making the gain scores IEEE-identical across engines. The library
-    * default (early-stop, xxhash parity) is spec-verified in LouvainSpec. */
+    * default differs ONLY in early-stopping; LouvainSpec asserts both
+    * schedules yield the same partition on this input. */
   def qLouvain(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.Louvain.run(spark, edges(spark, sfDir), resolution = 0.7,
-      maxPasses = 4, maxLevels = 3, earlyStop = false, portableParity = true)
+      maxPasses = 4, maxLevels = 3, earlyStop = false)
       .assignment.orderBy("vertex")
 
   /** Newman modularity of the connected-components partition (SQL-oracled:
@@ -283,7 +284,7 @@ object Queries {
   def qLouvainWeighted(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.Louvain.run(spark, edges(spark, sfDir), resolution = 0.7,
       maxPasses = 4, maxLevels = 3, weightCol = Some("weight"),
-      earlyStop = false, portableParity = true)
+      earlyStop = false)
       .assignment.orderBy("vertex")
 
   /** Rows-only at the driver: each agglomerative merge depends on a global

@@ -192,11 +192,19 @@ object SparkEntry {
   /** Full SQL replay of the fixed-schedule Louvain catalog run (see
     * Queries.qLouvain): state machine over the COMPOSED level-0 assignment,
     * one recursive step per move pass or refinement min-label step.
-    * Cycle = 4 move passes + 16 refinement steps (measured propagation
-    * depth ≤ 5 — 3x margin since the Spark side runs its CC to full
-    * convergence; extra steps are no-ops), × 3 levels = 60 steps. At a level
-    * boundary (next step ≡ 0 mod 14) the refined label becomes the new
-    * super-vertex (contraction). All masses are counts of base bi-edges
+    * Cycle = 4 move passes + 16 refinement steps, × 3 levels = 60 steps. At
+    * a level boundary (next step ≡ 0 mod cycle = mod 20) the refined label
+    * becomes the new super-vertex (contraction).
+    *
+    * CALIBRATION CAVEAT: the replay depths are margins over the CURRENT
+    * testdata, not invariants — ccSteps = 16 covers a measured refinement
+    * propagation depth ≤ 5 (3x margin; the Spark side runs its CC to full
+    * convergence, so a graph with deeper intra-community chains would make
+    * the SQL twin under-propagate and the driver gate report a FALSE fail
+    * on a correct engine). Same for GREEDY_MIS(25) below: ~log-depth greedy
+    * frontier on this data. If the testdata generator changes, re-measure
+    * both depths (log2(|V|) ≈ 11 at sf0.01 is a safe floor) before trusting
+    * a red gate. All masses are counts of base bi-edges
     * grouped by the composed labels — identical VALUES to the coarse-graph
     * aggregates the Spark side computes, and exact integers, so the gain
     * scores `kc − ((γ·k)·(Σtot−adj))/2m` match IEEE-bit-for-bit. */
@@ -238,7 +246,9 @@ object SparkEntry {
        |      FROM ranked r JOIN scored s2 ON s2.u = r.u AND s2.c = r.curc
        |      WHERE r.rn = 1),
        |    nxt AS (SELECT u,
-       |        CASE WHEN (CASE WHEN substr(md5(CAST(u AS VARCHAR)), 1, 1) < '8' THEN 0 ELSE 1 END)
+       |        CASE WHEN (CASE WHEN substr(md5(CAST(u AS VARCHAR)),
+       |                          1 + (((SELECT any_value(step) FROM cur) % $cycle) // 2) % 32,
+       |                          1) < '8' THEN 0 ELSE 1 END)
        |                  = (SELECT any_value(step) FROM cur) % $cycle % 2
        |                  AND best_score > stay_score
        |             THEN best ELSE curc END AS newc

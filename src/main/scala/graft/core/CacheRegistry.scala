@@ -7,20 +7,51 @@ import org.apache.spark.sql.DataFrame
   * release the pinned MEMORY_AND_DISK blocks: batch mains call [[clearAll]]
   * before `spark.stop()`, interactive users whenever inputs change on disk.
   *
-  * Registration is idempotent per frame; clearing unpersists lazily
-  * (non-blocking) and empties the registry.
+  * Two properties keep a long-lived session from slow-leaking pinned
+  * blocks (repeated operator calls each persist a fresh intermediate, and
+  * Spark's CacheManager holds strong references, so dropping OUR reference
+  * would not release anything — a WeakReference registry frees nothing):
+  *
+  *  - entries are dedup'd by CANONICALIZED PLAN, not object identity: the
+  *    same operator re-invoked on the same input registers nothing new
+  *    (Spark's CacheManager reuses the cached blocks for plan-equal frames
+  *    anyway — "Asked to cache already cached data");
+  *  - the registry is BOUNDED ([[maxEntries]], LRU): past the cap the
+  *    oldest intermediate is unpersisted and dropped. An evicted frame
+  *    still referenced by a live plan stays CORRECT — Spark recomputes the
+  *    stage — it just loses the cache barrier, the right trade for state
+  *    that would otherwise pin blocks forever.
   */
 object CacheRegistry {
 
-  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  /** Upper bound on simultaneously pinned intermediates; tune per session
+    * (each entry is a small projection — ids + signatures/keys). */
+  @volatile var maxEntries: Int = 64
+
+  private val frames = scala.collection.mutable.LinkedHashMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]
+
+  private def planKey(df: DataFrame) =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.canonicalized
 
   def register(df: DataFrame): DataFrame = synchronized {
-    if (!frames.exists(_ eq df)) frames += df // idempotent per frame instance
+    val key = planKey(df)
+    if (frames.contains(key)) frames.remove(key).foreach(frames.put(key, _)) // LRU touch
+    else {
+      frames.put(key, df)
+      while (frames.size > maxEntries) {
+        val (k, old) = frames.head
+        try old.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        frames.remove(k)
+      }
+    }
     df
   }
 
   def clearAll(): Unit = synchronized {
-    frames.foreach { df =>
+    frames.valuesIterator.foreach { df =>
       try df.unpersist(blocking = false)
       catch { case _: Throwable => () } // session may already be stopped
     }

@@ -29,12 +29,23 @@ import org.apache.spark.storage.StorageLevel
   * (argmax ties broken toward the smaller community id; a move happens only
   * on STRICT improvement over staying). Synchronous simultaneous moves can
   * oscillate (two vertices swapping communities forever), so each pass only
-  * permits moves for vertices with `xxhash64(vertex) % 2 == pass % 2` — the
-  * classic parity-damping trick, deterministic under any partitioning. The
-  * parity is HASHED, not `vertex % 2`: after contraction the vertex ids are
-  * min-member community ids, whose raw parity is heavily skewed (a ring of
-  * 4-cliques contracts to all-even ids, turning raw-parity damping into
-  * no damping at all).
+  * permits moves for vertices whose hashed parity bit equals `pass % 2` —
+  * the classic parity-damping trick, deterministic under any partitioning.
+  * The parity is HASHED, not `vertex % 2`: after contraction the vertex ids
+  * are min-member community ids, whose raw parity is heavily skewed (a ring
+  * of 4-cliques contracts to all-even ids, turning raw-parity damping into
+  * no damping at all). The hash is md5 of the decimal id — the ONE parity
+  * family, identical to what the driver's SQL-replay oracle recomputes, so
+  * the shipped default and the oracled catalog run take the same move
+  * sequence (an earlier xxhash64 fast path was removed: the digest is
+  * computed once per level into the degree table, so the md5 cost is
+  * O(V·levels) — noise — and carrying two families let the default path
+  * diverge from everything the driver hash-verifies). The parity BIT
+  * ROTATES per even/odd pass pair (pass pair t reads hex digit t mod 32 of
+  * the digest): any single hash bit can be unluckily constant on a small
+  * contracted vertex set — six supervertices all on one side means the
+  * symmetric ring merges never happen — but no bad coloring survives the
+  * next pass pair.
   *
   * Per level, passes stop when a full even+odd round moves nothing; the
   * level's partition is then contracted (communities → super-vertices,
@@ -80,21 +91,19 @@ object Louvain {
     * @return (vertex: Long, community: Long); community ids are level-0
     *         vertex ids (deterministic, not dense — renumber downstream). */
   /** `earlyStop = false` runs EXACTLY maxPasses passes per level and
-    * maxLevels levels (idle passes/levels are no-ops) — combined with
-    * `portableParity` this makes the whole multi-level fixpoint replayable
-    * in SQL: the driver's DuckDB twin re-executes every pass, refinement
-    * step and contraction over the composed assignment. Replay-exactness
-    * holds because every Louvain quantity (k, Σtot, k_v→c, 2m) is an
-    * integer-valued double (sums of 1.0s are exact in any order up to
-    * 2^53), so scores match IEEE-bit-for-bit across engines.
-    * `portableParity` derives the damping parity from md5 of the decimal
-    * vertex id (computable in any engine) instead of xxhash64. */
+    * maxLevels levels (idle passes/levels are no-ops) — which makes the
+    * whole multi-level fixpoint replayable in SQL: the driver's DuckDB twin
+    * re-executes every pass, refinement step and contraction over the
+    * composed assignment. Replay-exactness holds because every Louvain
+    * quantity (k, Σtot, k_v→c, 2m) is an integer-valued double (sums of
+    * 1.0s are exact in any order up to 2^53), so scores match
+    * IEEE-bit-for-bit across engines, and the damping parity is md5-derived
+    * (computable in any engine — see the class doc). */
   def run(spark: SparkSession, edges: DataFrame, resolution: Double = 1.0,
           maxPasses: Int = 20, maxLevels: Int = 4,
           weightCol: Option[String] = None,
           connectedGuarantee: Boolean = true,
-          earlyStop: Boolean = true,
-          portableParity: Boolean = false): Result = {
+          earlyStop: Boolean = true): Result = {
     // canonical weighted undirected edges; parallel edges sum
     val w0 = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     var g = edges.select(col("src").cast("long"), col("dst").cast("long"), w0.as("w"))
@@ -112,7 +121,7 @@ object Louvain {
     var level = 0
     var improvedAtLevel = true
     while ((improvedAtLevel || !earlyStop) && level < maxLevels) {
-      val (commRaw, moved0) = movePhase(spark, g, resolution, maxPasses, earlyStop, portableParity)
+      val (commRaw, moved0) = movePhase(spark, g, resolution, maxPasses, earlyStop)
       val moved = moved0 || !earlyStop // fixed schedule: always proceed (no-ops are harmless)
       // Leiden-style refinement BEFORE aggregation: split communities the
       // synchronous moves left internally disconnected, so contraction only
@@ -154,8 +163,7 @@ object Louvain {
   /** One level's move passes. Returns (vertex, comm) and whether any vertex
     * moved at this level. */
   private def movePhase(spark: SparkSession, g: DataFrame, resolution: Double,
-                        maxPasses: Int, earlyStop: Boolean = true,
-                        portableParity: Boolean = false): (DataFrame, Boolean) = {
+                        maxPasses: Int, earlyStop: Boolean = true): (DataFrame, Boolean) = {
     // bi-directed view for per-vertex neighbor scans (self-loops excluded
     // from neighbor mass, included in degree)
     val bi = g.where(col("a") =!= col("b"))
@@ -165,7 +173,9 @@ object Louvain {
       .localCheckpoint(true)
     val selfs = g.groupBy(col("a").as("u")).agg(sum(col("self")).as("sw"))
 
-    // k_v = incident edge mass (+2·self-loop); 2m = Σ k_v
+    // k_v = incident edge mass (+2·self-loop); 2m = Σ k_v. The damping
+    // digest rides along: one md5 per vertex per LEVEL here; each pass pair
+    // just reads a different hex digit of the cached string.
     val kv = bi.groupBy(col("u")).agg(sum(col("w")).as("kin"))
       .join(selfs, Seq("u"), "left")
       .select(col("u").as("vertex"), (col("kin") + lit(2.0) * coalesce(col("sw"), lit(0.0))).as("k"))
@@ -173,6 +183,7 @@ object Louvain {
         // isolated super-vertices (only a self-loop) still carry degree
         selfs.join(bi.select(col("u")).distinct(), Seq("u"), "left_anti")
           .select(col("u").as("vertex"), (lit(2.0) * col("sw")).as("k")))
+      .withColumn("ph", md5(col("vertex").cast("string")))
       .localCheckpoint(true)
     val m2 = kv.agg(coalesce(sum(col("k")), lit(0.0))).head().getDouble(0) // = 2m
     if (m2 == 0.0) return (kv.select(col("vertex"), col("vertex").as("comm")), false)
@@ -193,19 +204,22 @@ object Louvain {
         .groupBy(col("u"), col("c")).agg(sum(col("kc")).as("kc"))
         .join(tot.select(col("comm").as("c"), col("tot")), "c")
         .join(comm.select(col("vertex").as("u"), col("comm").as("cur")), "u")
-        .join(kv.select(col("vertex").as("u"), col("k")), "u")
-        .select(col("u"), col("c"), col("cur"), col("k"),
+        .join(kv.select(col("vertex").as("u"), col("k"), col("ph")), "u")
+        .select(col("u"), col("c"), col("cur"), col("k"), col("ph"),
           (col("kc") - lit(resolution) * col("k") *
             (col("tot") - when(col("c") === col("cur"), col("k")).otherwise(0.0)) / lit(m2))
             .as("score"))
       val parity = pass % 2
+      // rotating damping bit: pass pair t reads hex digit t%32 of the digest
+      val bitPos = 1 + (pass / 2) % 32
       val next = cand.groupBy(col("u")).agg(
           max_by(col("c"), struct(col("score"), -col("c"))).as("best"),
           max(col("score")).as("best_score"), // == score(best): argmax is score-first
           max(when(col("c") === col("cur"), col("score"))).as("stay_score"),
-          first(col("cur")).as("cur"))
+          first(col("cur")).as("cur"),
+          first(col("ph")).as("ph"))
         .select(col("u").as("vertex"),
-          when(parityBit(col("u"), portableParity) === lit(parity) && col("best_score") > col("stay_score"),
+          when(parityBit(col("ph"), bitPos) === lit(parity) && col("best_score") > col("stay_score"),
             col("best")).otherwise(col("cur")).as("comm"),
           col("cur").as("old_comm"))
       val nextCk = graft.core.Superstep.checkpoint(next) // materialized by the move-count aggregate
@@ -219,10 +233,9 @@ object Louvain {
     (comm, anyMove)
   }
 
-  /** Damping parity of a vertex id: xxhash64 by default; `portable` derives
-    * it from md5 of the decimal id string (first hex char < '8' → 0), which
-    * any engine can recompute — the knob the SQL-replay oracle needs. */
-  private def parityBit(u: Column, portable: Boolean): Column =
-    if (portable) when(substring(md5(u.cast("string")), 1, 1) < lit("8"), lit(0)).otherwise(lit(1))
-    else pmod(xxhash64(u), lit(2))
+  /** Damping parity from a cached md5 hex digest: digit at `bitPos`
+    * (1-based) < '8' → 0 — recomputable in any engine, which is what lets
+    * the driver's SQL oracle replay the exact move sequence. */
+  private def parityBit(digest: Column, bitPos: Int): Column =
+    when(substring(digest, bitPos, 1) < lit("8"), lit(0)).otherwise(lit(1))
 }

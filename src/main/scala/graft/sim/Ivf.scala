@@ -41,12 +41,36 @@ object Ivf {
     aggregate(zip_with(vec, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
       lit(0.0d), (acc, x) => acc + x)
 
-  /** Nearest-cell id for a vector column: least() over (dist, cell) structs
-    * — (d asc, cell asc), i.e. ties to the lower cell id. */
-  private def cellOf(vec: Column, model: Model): Column =
+  /** Nearest-cell id via the native [[graft.functions.NearestCell]] codegen
+    * expression: the centroid matrix is ONE reference object, the argmin a
+    * runtime loop — plan size O(1) in nlist (the literal chain below is
+    * O(nlist × dim) and blows whole-stage codegen at production cell
+    * counts), result bit-identical (IvfSpec cross-checks at nlist = 256). */
+  private def cellOf(vec: Column, model: Model): Column = {
+    val (cells, mat) = modelArrays(model)
+    graftshim.column(graft.functions.NearestCell(graftshim.expression(vec), cells, mat))
+  }
+
+  /** The declarative formulation — least() over (dist, cell) structs,
+    * (d asc, cell asc) so ties go to the lower cell id. KEPT as the
+    * spec cross-check twin of [[cellOf]]; do not use on wide models. */
+  private[graft] def cellOfLiteral(vec: Column, model: Model): Column =
     least(model.centroids.map { case (cell, c) =>
       struct(sqDist(vec, c).as("d"), lit(cell).as("cell"))
     }: _*).getField("cell")
+
+  /** Public literal-path cell assignment for the cross-validation spec. */
+  private[graft] def cellsLiteral(corpus: DataFrame, model: Model,
+                                  idCol: String = "id", vecCol: String = "vec"): DataFrame =
+    corpus.select(col(idCol),
+      cellOfLiteral(col(vecCol).cast("array<double>"), model).cast("long").as("cell"))
+
+  private def modelArrays(model: Model): (Array[Int], Array[Array[Double]]) = {
+    val sorted = model.centroids.sortBy(_._1)
+    (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+  }
+
+  private def graftshim = org.apache.spark.sql.graftshim.GraftShim
 
   /** Fixed-iteration seeded Lloyd k-means over `corpus` (or a sample of it
     * at scale). One Spark job per iteration: assign (narrow, literal
@@ -94,13 +118,14 @@ object Ivf {
     val c = Similarity.withNorm(corpus, idCol, vecCol, "_v", "_nv")
       .withColumn("cell", cellOf(col("_v"), model).cast("long"))
     val q = Similarity.withNorm(queries, qidCol, qvecCol, "_qv", "_nq")
-    // nprobe nearest cells per query: sort the (dist, cell) structs, slice
-    val cellStructs = array(model.centroids.map { case (cell, cArr) =>
-      struct(sqDist(col("_qv"), cArr).as("d"), lit(cell).cast("long").as("cell"))
-    }: _*)
+    // nprobe nearest cells per query — native kernel, same O(1)-plan-size
+    // story as cellOf (the array_sort-over-literal-structs twin it replaces
+    // grew O(nlist × dim))
+    val (cellIds, mat) = modelArrays(model)
+    val probes = graftshim.column(
+      graft.functions.NearestCells(graftshim.expression(col("_qv")), cellIds, mat, nprobe))
     val probed = q.select(col(qidCol), col("_qv"), col("_nq"),
-        explode(slice(array_sort(cellStructs), 1, nprobe)).as("pc"))
-      .withColumn("cell", col("pc.cell")).drop("pc")
+        explode(probes).as("cell"))
     val scored = c.join(broadcast(probed), Seq("cell"))
       .where(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol),

@@ -20,7 +20,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale shape: state is O(1) per ever-seen user (one open session or one
   * tombstone), partitioned by user_id; each micro-batch shuffles only its
-  * own events once. Checkpoint the query for exactly-once resume — the
+  * own events once. At web scale O(ever-seen users) is itself a slow state
+  * leak — opt into `tombstoneTtlHours` to bound it at O(recently-active
+  * users), trading seq reuse beyond the horizon. Checkpoint the query for exactly-once resume — the
   * state store carries the open sessions across restarts.
   */
 object StreamingSessions {
@@ -34,10 +36,20 @@ object StreamingSessions {
 
   /** Apply to a *streaming* Dataset (readStream source) with columns
     * (user_id: long, ts: timestamp, value: double); requires a watermark on
-    * `ts` at least as large as the session gap. */
-  def sessions(events: Dataset[SessionEvent], gapMinutes: Int = 30): Dataset[SessionRow] = {
+    * `ts` at least as large as the session gap.
+    *
+    * @param tombstoneTtlHours when set, a flushed user's zero-event
+    *   tombstone (the seq-monotonicity carrier) is itself dropped once the
+    *   user has been idle this long past the session gap — bounding state
+    *   at O(users active within TTL) instead of O(ever-seen users), at the
+    *   documented price that a user returning after the horizon restarts
+    *   session_seq at 1. None (default) = strict monotonicity forever,
+    *   state O(ever-seen users). */
+  def sessions(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+               tombstoneTtlHours: Option[Int] = None): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
+    val ttlMs = tombstoneTtlHours.map(_ * 3600000L)
 
     events
       .groupByKey(_.user_id)
@@ -45,14 +57,29 @@ object StreamingSessions {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, it, state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            // watermark passed (end + gap): flush the open session. Keep a
-            // zero-event tombstone holding the NEXT sequence number (no new
-            // timeout — it just waits for the user's return) instead of
-            // state.remove(), which would restart seq at 1.
             val s = state.get
-            state.update(OpenSession(s.sessionSeq + 1, s.endMs, s.endMs, 0L, 0.0))
-            Iterator.single(SessionRow(userId, s.sessionSeq,
-              new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEvents, s.valueSum))
+            if (s.nEvents == 0L) {
+              // the tombstone's own TTL expired: forget the user entirely
+              // (seq may be reused beyond this horizon — the documented trade)
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed (end + gap): flush the open session. Keep a
+              // zero-event tombstone holding the NEXT sequence number
+              // instead of state.remove(), which would restart seq at 1;
+              // with a TTL the tombstone gets its own far-future timeout.
+              val deadline = ttlMs.map(s.endMs + gapMs + _)
+              if (deadline.exists(_ <= state.getCurrentWatermarkMs())) {
+                // the flush itself arrived beyond the horizon (timeouts fire
+                // when the watermark jumps): no tombstone, forget the user
+                state.remove()
+              } else {
+                state.update(OpenSession(s.sessionSeq + 1, s.endMs, s.endMs, 0L, 0.0))
+                deadline.foreach(state.setTimeoutTimestamp)
+              }
+              Iterator.single(SessionRow(userId, s.sessionSeq,
+                new Timestamp(s.startMs), new Timestamp(s.endMs), s.nEvents, s.valueSum))
+            }
           } else {
             // micro-batch iterators are unordered: sort by event time
             val evs = it.toVector.sortBy(_.ts.getTime)

@@ -226,10 +226,34 @@ class GraphAlgoSpec extends SparkTestBase {
         }
       }
     }
-    val got = graft.graph.ShortestPaths.weighted(spark,
-        wEdges.toDF("src", "dst", "weight"), source, iters = 40)
+    val wdf = wEdges.toDF("src", "dst", "weight")
+    val got = graft.graph.ShortestPaths.weighted(spark, wdf, source, fixedIters = Some(40))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got.keySet == dist.keySet)
     got.foreach { case (v, d) => assert(math.abs(d - dist(v)) < 1e-9, s"vertex $v") }
+
+    // delta-frontier default: identical distances BIT-for-bit (same
+    // path-ordered sums min'ed on both modes)
+    val deltaGot = graft.graph.ShortestPaths.weighted(spark, wdf, source)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(deltaGot == got)
+  }
+
+  test("delta-frontier weighted SSSP stops at the weighted hop depth and detects divergence") {
+    import spark.implicits._
+    // planted path 0-1-2-...-19 with decreasing weights: weighted shortest
+    // paths follow the chain, so the frontier advances one hop per superstep
+    val n = 20
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong, 1.0 + (i % 3) * 0.5))
+    val res = graft.graph.ShortestPaths.weightedDelta(
+      spark, chain.toDF("src", "dst", "weight"), 0L)
+    assert(res.dist.count() == n)
+    // eccentricity of vertex 0 on a path graph = n-1 supersteps (+0/1 slack)
+    assert(res.supersteps == n - 1, s"supersteps = ${res.supersteps}")
+    // a cap below the eccentricity must throw, not truncate distances
+    intercept[IllegalStateException] {
+      graft.graph.ShortestPaths.weightedDelta(
+        spark, chain.toDF("src", "dst", "weight"), 0L, maxIters = 5)
+    }
   }
 }

@@ -54,6 +54,28 @@ class IvfSpec extends SparkTestBase {
     assert(mean >= 0.9, s"mean recall@10 = $mean")
   }
 
+  test("native nearest-cell kernel == literal least() chain at nlist=256") {
+    // a 256-cell model would blow the literal expression chain's codegen at
+    // production dims — here it is small enough to evaluate both paths and
+    // assert bit-identical assignments (incl. tie-breaks to the lower cell)
+    val bigRnd = new Random(7)
+    val wide: Seq[(Long, Seq[Float])] = (0 until 600).map { i =>
+      i.toLong -> Seq.fill(dim)((bigRnd.nextGaussian() * 2).toFloat)
+    }
+    val wideDf = wide.toDF("id", "vec")
+    val model = Ivf.Model((0 until 256).map { c =>
+      c -> wide(c)._2.map(_.toDouble).toArray
+    }.toVector)
+    val native = Ivf.cells(wideDf, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val literal = Ivf.cellsLiteral(wideDf, model).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == literal)
+    // exact-duplicate vectors force distance ties across cells: the first
+    // 256 corpus rows ARE the centroids, so row c must land in cell c
+    (0 until 256).foreach(c => assert(native(c.toLong) == c.toLong))
+  }
+
   test("probing all cells reproduces exact brute-force top-k") {
     val model = Ivf.train(corpus, nlist = 4, iters = 5)
     val queries = vecs.take(3).toDF("qid", "qvec")

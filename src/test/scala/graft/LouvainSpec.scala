@@ -119,4 +119,26 @@ class LouvainSpec extends SparkTestBase {
     assert(fine >= 6, s"gamma=2 should keep the 6 cliques apart, got $fine")
     assert(coarse < fine, s"gamma=0.1 ($coarse) should be coarser than gamma=2 ($fine)")
   }
+
+  test("shipped default agrees with the oracled fixed schedule on the testdata graph") {
+    // The driver-oracled catalog row (q_louvain) pins earlyStop = false so
+    // the DuckDB twin can replay every pass; the library DEFAULT early-stops.
+    // This closes the gap between the hash-green badge and the shipped path:
+    // on the catalog's own input the two schedules must produce the SAME
+    // partition — once converged, the fixed schedule only appends no-op
+    // passes. (Round-3 history: the two paths originally ALSO differed in
+    // parity-hash family, and the xxhash default landed in a far worse local
+    // optimum on this very graph — Q 7e-4 vs 0.056 — which is why the
+    // engine now has exactly one, md5, parity family.)
+    val e = Queries.edges(spark, "/root/testdata/sf0.001")
+    def partition(earlyStop: Boolean): Set[Set[Long]] =
+      Louvain.run(spark, e, resolution = 0.7, maxPasses = 4, maxLevels = 3,
+          earlyStop = earlyStop)
+        .assignment.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val oracled = partition(earlyStop = false)
+    val default = partition(earlyStop = true)
+    assert(default == oracled,
+      s"default vs oracled partition diverged: ${default.size} vs ${oracled.size} communities")
+  }
 }

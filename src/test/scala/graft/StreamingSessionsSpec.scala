@@ -91,6 +91,56 @@ class StreamingSessionsSpec extends SparkTestBase {
     // u98's session is still open: not emitted
   }
 
+  test("tombstone TTL: seq survives within the horizon, state drops beyond it") {
+    val dir = Files.createTempDirectory("graft-sess-ttl").toString
+    val HOUR = 3600000L
+    Seq((1L, ts(t0), 1.0)).toDF("user_id", "ts", "value")
+      .repartition(1).write.mode("append").parquet(dir)
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
+      .withWatermark("ts", "30 minutes")
+      .as[StreamingSessions.SessionEvent]
+    val q = StreamingSessions.sessions(stream, gapMinutes = 30,
+        tombstoneTtlHours = Some(2)).writeStream
+      .outputMode("append").format("memory").queryName("sess_ttl").start()
+    try {
+      q.processAllAvailable()
+      // advance watermark 1h: session 1 flushes, tombstone armed (TTL 2h)
+      Seq((99L, ts(t0 + HOUR), 0.0)).toDF("user_id", "ts", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // u1 returns INSIDE the ttl horizon: seq must continue at 2
+      Seq((1L, ts(t0 + HOUR + 10 * MIN), 2.0)).toDF("user_id", "ts", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // advance far past gap+TTL: session 2 flushes, then its tombstone expires
+      Seq((98L, ts(t0 + 12 * HOUR), 0.0)).toDF("user_id", "ts", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq((97L, ts(t0 + 24 * HOUR), 0.0)).toDF("user_id", "ts", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      // u1 returns BEYOND the horizon: forgotten, seq restarts at 1
+      Seq((1L, ts(t0 + 24 * HOUR + 10 * MIN), 4.0)).toDF("user_id", "ts", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq((96L, ts(t0 + 48 * HOUR), 0.0)).toDF("user_id", "ts", "value")
+        .repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sess_ttl").as[StreamingSessions.SessionRow]
+      .collect().filter(_.user_id == 1L)
+      .map(r => (r.session_seq, r.session_start.getTime, r.n_events)).toSet
+    assert(got == Set(
+      (1L, t0, 1L),                      // first session
+      (2L, t0 + HOUR + 10 * MIN, 1L),    // within TTL: seq carried to 2
+      (1L, t0 + 24 * HOUR + 10 * MIN, 1L)), // beyond TTL: forgotten, seq 1 again
+      s"got $got")
+  }
+
   test("checkpoint recovery: restart resumes per-user state, no loss or re-emit") {
     val dir = Files.createTempDirectory("graft-sess-recov-in").toString
     val ckpt = Files.createTempDirectory("graft-sess-recov-ck").toString
