@@ -28,6 +28,7 @@ import graft.sources.{AssignmentsSink, EdgeTableSource}
   *   --numeric-ids
   *   --out-representatives
   *   --out-csv
+  *   -v                          load report + distance histogram (A2/A5)
   *   --leiden-resolution x (0.7) / --leiden-iterations n — leiden maps to
   *     [[graft.graph.Louvain]]; --leiden-beta is accepted and ignored (our
   *     refinement is deterministic, no randomness knob).
@@ -54,6 +55,7 @@ object Main {
       distanceKind: EdgeOps.DistanceKind = EdgeOps.RawDistance,
       filters: Map[String, Filter] = Map.empty,
       numericIds: Boolean = false,
+      verbose: Boolean = false,
       outRepresentatives: Boolean = false,
       outCsv: Boolean = false,
       leidenResolution: Double = 0.7,
@@ -100,6 +102,7 @@ object Main {
         cfg = cfg.copy(filters = cfg.filters.updated(c, f.copy(max = math.min(f.max, v.toDouble))))
       case None => more = false
     }
+    if (takeFlag("-v")) cfg = cfg.copy(verbose = true)
     if (takeFlag("--numeric-ids")) cfg = cfg.copy(numericIds = true)
     if (takeFlag("--out-representatives")) cfg = cfg.copy(outRepresentatives = true)
     if (takeFlag("--out-csv")) cfg = cfg.copy(outCsv = true)
@@ -118,7 +121,7 @@ object Main {
     "usage: graft.Main [--algo single|complete|uclust|set-cover|cd-hit|leiden] " +
       "[--objects-file F] [--id-cols c1 c2] [--distance-col c] [--similarity] " +
       "[--percent-similarity] [--min col v]... [--max col v]... [--numeric-ids] " +
-      "[--out-representatives] [--out-csv] <distances> <assignments>"
+      "[--out-representatives] [--out-csv] [-v] <distances> <assignments>"
 
   /** The reference tokenizes on both ',' and tab; a distributed reader needs
     * ONE separator, so sniff it from the header line. */
@@ -131,8 +134,8 @@ object Main {
     * output order — (object, cluster) or (object, cluster_rep, cluster) with
     * `--out-representatives`. Separated from [[main]] so tests can compare
     * results without touching the filesystem. */
-  def execute(spark: SparkSession, cfg: Config): DataFrame = {
-    val opts = EdgeTableSource.Options(
+  private def readOptions(spark: SparkSession, cfg: Config): EdgeTableSource.Options =
+    EdgeTableSource.Options(
       sep = sniffSep(spark, cfg.distances),
       idCols = cfg.idCols,
       distanceCol = cfg.distanceCol,
@@ -143,6 +146,9 @@ object Main {
           min = Option(f.min).filter(_.isFinite),
           max = Option(f.max).filter(_.isFinite))
       })
+
+  def execute(spark: SparkSession, cfg: Config): DataFrame = {
+    val opts = readOptions(spark, cfg)
     val rawEdges = EdgeTableSource.read(spark, cfg.distances, opts)
     val universe = cfg.objectsFile.map(EdgeTableSource.readObjects(spark, _))
 
@@ -222,6 +228,44 @@ object Main {
     }
   }
 
+  /** The reference's load report (console.cpp:106-110: input/filtered
+    * node+edge counts, printed at normal verbosity) and its `-v` distance
+    * histogram (graph_sparse.h:122-150: 0.001-wide buckets to 0.05 plus an
+    * overflow bucket over the TRANSFORMED distance) — the A2/A5 operators
+    * surfaced through the CLI so a migrating clusty script keeps its load
+    * diagnostics. Driver-dark by design (stdout diagnostics, not a catalog
+    * row); the operators behind it are oracled via q_edge_stats /
+    * q_weight_hist. */
+  private def printLoadReport(spark: SparkSession, cfg: Config,
+                              opts: EdgeTableSource.Options): Unit = {
+    val raw = EdgeTableSource.read(spark, cfg.distances,
+      opts.copy(filters = Nil, dropSelfLoops = false, distanceKind = EdgeOps.RawDistance))
+    val filtered = EdgeTableSource.read(spark, cfg.distances, opts)
+    def stats(df: DataFrame): (Long, Long) = {
+      val nodes = df.select(col("src")).union(df.select(col("dst"))).distinct().count()
+      (nodes, df.count())
+    }
+    val (n0, e0) = stats(raw)
+    val (n1, e1) = stats(filtered)
+    println(s"  input graph: $n0 nodes, $e0 edges")
+    println(s"  filtered graph: $n1 nodes, $e1 edges")
+    if (cfg.verbose) {
+      println("\nDistance histogram")
+      // A5 over the transformed distance; reference bounds 0, 0.001..0.05,
+      // +inf, printed as first-match "d < bound: n" counts
+      val hist = EdgeOps.weightHistogram(
+          filtered.select(col("src"), col("dst"), col("weight").cast("double")),
+          lo = 0.0, hi = 0.05, width = 0.001)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"  d < 0: 0")
+      (0 until 50).foreach { i =>
+        println(s"  d < ${(i + 1) * 0.001}: ${hist.getOrElse(i.toLong, 0L)}")
+      }
+      println(s"  d < inf: ${hist.getOrElse(50L, 0L)}")
+      println()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parse(args.toSeq)
     val builder = SparkSession.builder().appName("graft")
@@ -233,6 +277,7 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      printLoadReport(spark, cfg, readOptions(spark, cfg))
       val out = execute(spark, cfg)
       val sep = if (cfg.outCsv) "," else "\t"
       if (cfg.outRepresentatives)

@@ -25,7 +25,12 @@ object Queries {
     * Iceberg table instead of re-deriving it from raw pages per query. */
   def edges(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "t2") {
-      EdgeOps.partCooccurrence(spark, sfDir, minWeight = 2L)
+      // layered view: threshold the cached BASE table instead of re-running
+      // the lineitem self-join (the round-2 shape rebuilt the co-occurrence
+      // from scratch for each of the two caches — measured +13% on q_cc,
+      // which paid the second build). One base materialization, t2 = one
+      // cheap filter pass over cached rows.
+      edgesAll(spark, sfDir).where(col("weight") >= 2L)
     }
 
   def edgesAll(spark: SparkSession, sfDir: String): DataFrame =
@@ -299,9 +304,15 @@ object Queries {
 
   // ---- Multimodal binary plumbing (synthesized pages; sf-independent) ------
 
+  /** Media-kind sniff + size rollup over the deterministic mixed-media
+    * corpus (PNG/WAV/mp4-stub). DRIVER-ORACLED since round 3: Verify writes
+    * the same corpus to a parquet fixture, and the DuckDB twin re-sniffs
+    * the ACTUAL magic bytes with substr(hex(payload),...) — the sniffing
+    * logic is verified against a second engine reading the same blobs, not
+    * against our own generator parameters. */
   def qMediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
-    val pages = graft.ingest.PageSynth.pages(spark, 1000L, seed = 42L, numPartitions = 8)
-    graft.multimodal.BinaryOps.extractMeta(pages.toDF()).toDF()
+    val media = graft.multimodal.MediaSynth.mediaTable(spark, nPerKind = 50, seed = 42L)
+    graft.multimodal.BinaryOps.extractMeta(media, binCol = "payload").toDF()
       .groupBy("kind").agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"))
       .orderBy("kind")
   }
@@ -323,11 +334,22 @@ object Queries {
       .orderBy("url")
   }
 
-  def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val pages = graft.ingest.PageSynth.pages(spark, 1000L, seed = 42L, numPartitions = 8)
-    graft.multimodal.BinaryOps.extractFeatures(pages.toDF()).toDF()
-      .select(col("url"), col("kind"), col("frames"),
-        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+  /** Media GEOMETRY through the real decoders — PNG dimensions via ImageIO,
+    * WAV sample geometry via the chunk-walking PCM parser — over the same
+    * fixture corpus as q_media_meta. DRIVER-ORACLED since round 3: the
+    * DuckDB twin parses width/height (big-endian IHDR ints) and
+    * sample_rate/n_samples (little-endian canonical-header ints) straight
+    * from the fixture's bytes, so the Spark decode path is checked against
+    * an independent byte-level re-parse. Only the pixel/sample FEATURE
+    * values (q_media_decode) stay rows-only — a second engine cannot rerun
+    * ImageIO. */
+  def qMediaGeometry(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = graft.multimodal.MediaSynth.mediaTable(spark, nPerKind = 50, seed = 42L)
+    graft.multimodal.BinaryOps.decodeAll(media).toDF()
+      .select(col("url"), col("kind"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples").cast("long").as("n_samples"))
       .orderBy("url")
   }
 }

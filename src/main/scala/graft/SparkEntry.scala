@@ -63,9 +63,11 @@ object SparkEntry {
     "q_cdhit"            -> (Queries.qCdHit _),
     "q_uclust"           -> (Queries.qUclust _),
     "q_complete_linkage" -> (Queries.qCompleteLinkage _),
-    // multimodal binary plumbing (synthesized pages)
+    // multimodal binary plumbing (deterministic mixed-media corpus; meta +
+    // geometry byte-reparsed by the DuckDB twin from the Verify-written
+    // fixture, pixel/sample decode rows-only)
     "q_media_meta"       -> (Queries.qMediaMeta _),
-    "q_media_features"   -> (Queries.qMediaFeatures _),
+    "q_media_geometry"   -> (Queries.qMediaGeometry _),
     "q_media_decode"     -> (Queries.qMediaDecode _),
     // documents / text
     "q_token_stats"      -> (QueriesDoc.qTokenStats _),
@@ -572,7 +574,7 @@ object SparkEntry {
          |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e))
          |SELECT verts.v AS vertex, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_triangles
          |FROM verts LEFT JOIN hits USING (v) ORDER BY vertex""".stripMargin,
-  ) ++ docOracleSql
+  ) ++ docOracleSql ++ mediaOracleSql
 
   // ---- documents / embeddings / events oracles -----------------------------
 
@@ -663,6 +665,42 @@ object SparkEntry {
       |  / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
       |     * sqrt(list_sum(list_transform(q.qvec, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS sim
       |  FROM embeddings e, q WHERE e.vec_id <> q.qid)""".stripMargin
+
+  /** Shared kind-sniff over the Verify-written media fixture: the DuckDB
+    * twin re-reads the ACTUAL payload bytes (`__MEDIA_FIXTURE__` is
+    * substituted with the fixture path by graft.Verify at dump time) and
+    * mirrors BinaryOps.sniffKind's magic-byte checks in the same order. */
+  private val MEDIA_SNIFFED =
+    """m AS (SELECT url, payload, hex(payload) AS hx
+      |      FROM read_parquet('__MEDIA_FIXTURE__/*.parquet')),
+      |k AS (SELECT url, hx, octet_length(payload) AS n_bytes,
+      |  CASE WHEN substr(hx,1,8)='89504E47' THEN 'image/png'
+      |       WHEN substr(hx,1,4)='FFD8' THEN 'image/jpeg'
+      |       WHEN substr(hx,1,8)='52494646' THEN 'audio/wav'
+      |       WHEN substr(hx,9,8)='66747970' THEN 'video/mp4'
+      |       WHEN substr(hx,1,2)='3C' THEN 'text/html'
+      |       ELSE 'application/octet-stream' END AS kind
+      |  FROM m)""".stripMargin
+
+  private def mediaOracleSql: Map[String, String] = Map(
+    "q_media_meta" ->
+      s"""WITH $MEDIA_SNIFFED
+         |SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+         |FROM k GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // geometry re-parsed independently from the bytes: PNG IHDR ints are
+    // big-endian at byte offsets 17/21 (hex positions 33/41); the canonical
+    // 44-byte WAV header holds sample_rate at bytes 25-28 and the data
+    // length at 41-44, little-endian (hex pairs reversed). The Spark side
+    // parses the same blobs with ImageIO / the generic chunk walker.
+    "q_media_geometry" ->
+      s"""WITH $MEDIA_SNIFFED
+         |SELECT url, kind,
+         |  CASE WHEN kind='image/png' THEN ('0x'||substr(hx,33,8))::BIGINT ELSE -1 END AS width,
+         |  CASE WHEN kind='image/png' THEN ('0x'||substr(hx,41,8))::BIGINT ELSE -1 END AS height,
+         |  CASE WHEN kind='audio/wav' THEN ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::BIGINT ELSE -1 END AS sample_rate,
+         |  CASE WHEN kind='audio/wav' THEN (('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::BIGINT)//2 ELSE -1 END AS n_samples
+         |FROM k ORDER BY url""".stripMargin)
 
   private def docOracleSql: Map[String, String] = Map(
     "q_token_stats" ->

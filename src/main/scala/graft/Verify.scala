@@ -15,6 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Byte fixture for the media oracles: the SAME deterministic corpus the
+    // q_media_* queries build in-memory, written where the driver's DuckDB
+    // can re-read the payload blobs ("_fixtures" so the driver's q_* glob
+    // ignores it). The __MEDIA_FIXTURE__ placeholder in the oracle SQL is
+    // substituted with this path below.
+    val mediaFixture = s"$outDir/_fixtures/media"
+    graft.multimodal.MediaSynth.mediaTable(spark, nPerKind = 50, seed = 42L)
+      .coalesce(1).write.mode("overwrite").parquet(mediaFixture)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +43,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__MEDIA_FIXTURE__", mediaFixture))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Queries.clearCaches()
     spark.stop()

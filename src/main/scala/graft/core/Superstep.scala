@@ -24,4 +24,14 @@ object Superstep {
     * caller's combined aggregate materializes the checkpoint). */
   def checkpoint(df: DataFrame, eager: Boolean = false): DataFrame =
     GraftShim.localCheckpointResetStats(df, eager)
+
+  /** [[checkpoint]] plus a thunk that unpersists the checkpointed blocks.
+    * Superstep loops should release step k−1 RIGHT AFTER step k's state has
+    * materialized (and never release the final state a caller will read):
+    * left to the ContextCleaner, dead superstep blocks pile up for the whole
+    * run — under a large heap the cleaner barely runs, and memory-store
+    * churn makes late supersteps measurably slower (observed 9 s → 21 s by
+    * superstep 9 on a 19 M-edge PageRank). */
+  def checkpointReleasable(df: DataFrame, eager: Boolean = false): (DataFrame, () => Unit) =
+    GraftShim.localCheckpointResetStatsReleasable(df, eager)
 }

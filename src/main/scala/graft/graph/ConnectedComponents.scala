@@ -45,15 +45,20 @@ object ConnectedComponents {
     var prev = checksum(e)
     var converged = false
     var it = 0
+    // free round k-1's checkpoint blocks once round k is materialized
+    // (the final round's state survives for the assignment projection)
+    var releasePrev: () => Unit = () => ()
     while (!converged && it < maxIter) {
       val ls = largeStar(e)
       val ss = smallStar(ls)
       // Lazy checkpoint: the checksum aggregate below is a full scan, so it
       // materializes every partition — one Spark job per round, not two.
-      val next = graft.core.Superstep.checkpoint(ss)
+      val (next, release) = graft.core.Superstep.checkpointReleasable(ss)
       val cs = checksum(next)
       converged = cs == prev
       prev = cs
+      releasePrev()
+      releasePrev = release
       e = next
       it += 1
     }

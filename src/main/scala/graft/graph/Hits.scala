@@ -43,16 +43,19 @@ object Hits {
 
     var it = 0
     var degenerate = nEdges == 0L
+    // frees iteration k-1's (aRaw, hRaw) blocks once k is materialized; the
+    // last iteration's stay live behind the returned auths/hubs projections
+    var releasePrev: () => Unit = () => ()
     while (!degenerate && it < iterations) {
-      val aRaw = e.join(hubs, e("src") === hubs("vertex"))
-        .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
-        .select(col("dst").as("vertex"), col("a"))
-        .transform(graft.core.Superstep.checkpoint(_))
+      val (aRaw, relA) = graft.core.Superstep.checkpointReleasable(
+        e.join(hubs, e("src") === hubs("vertex"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
+          .select(col("dst").as("vertex"), col("a")))
       // hub sums from the unnormalized authority sums (scale cancels)
-      val hRaw = e.join(aRaw, e("dst") === aRaw("vertex"))
-        .groupBy(col("src")).agg(sum(col("a")).as("h"))
-        .select(col("src").as("vertex"), col("h"))
-        .transform(graft.core.Superstep.checkpoint(_))
+      val (hRaw, relH) = graft.core.Superstep.checkpointReleasable(
+        e.join(aRaw, e("dst") === aRaw("vertex"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h"))
+          .select(col("src").as("vertex"), col("h")))
 
       // one job: materializes both checkpointed states, returns both norms
       val row = aRaw.select(col("a").as("x"), lit(true).as("isA"))
@@ -65,6 +68,8 @@ object Hits {
       val hNorm = math.sqrt(row.getDouble(1))
       if (aNorm == 0.0 || hNorm == 0.0) degenerate = true
       else {
+        releasePrev()
+        releasePrev = () => { relA(); relH() }
         auths = aRaw.select(col("vertex"), (col("a") / lit(aNorm)).as("authority"))
         hubs = hRaw.select(col("vertex"), (col("h") / lit(hNorm)).as("hub"))
         it += 1

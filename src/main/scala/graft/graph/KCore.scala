@@ -31,17 +31,20 @@ object KCore {
     var nEdges = bi.count()
     var it = 0
     var stable = false
+    // free peel k-1's checkpoint blocks once peel k is materialized
+    var releasePrev: () => Unit = () => ()
     while (!stable && it < maxIter && nEdges > 0) {
       val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val keep = deg.where(col("d") >= k).select(col("src").as("v"))
-      val next = bi
+      val (next, release) = graft.core.Superstep.checkpointReleasable(bi
         .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .transform(graft.core.Superstep.checkpoint(_)) // materialized by the count below
+        .select(col("src"), col("dst"))) // materialized by the count below
       val n2 = next.count()
       stable = n2 == nEdges
       nEdges = n2
+      releasePrev()
+      releasePrev = release
       bi = next
       it += 1
     }

@@ -39,6 +39,8 @@ object LabelPropagation {
 
     var it = 0
     var stable = false
+    // free superstep k-1's checkpoint blocks once k is materialized
+    var releasePrev: () => Unit = () => ()
     while (!stable && it < iterations) {
       // (count desc, label asc) argmax via max_by over (n, -label) — a hash
       // aggregate instead of a window sort. The previous label rides along
@@ -50,17 +52,20 @@ object LabelPropagation {
       val counts = msgs.groupBy(col("dst"), col("label")).agg(count(lit(1)).as("n"))
       val carrier = labels.select(col("vertex").as("dst"), col("label"), lit(0L).as("n"))
 
-      val newLabels = counts.unionByName(carrier)
-        .groupBy(col("dst")).agg(
-          max_by(col("label"), struct(col("n"), -col("label"))).as("label"),
-          max(when(col("n") === 0L, col("label"))).as("old_label"))
-        .select(col("dst").as("vertex"), col("label"), col("old_label"))
-        .transform(graft.core.Superstep.checkpoint(_)) // materialized by the stability aggregate
+      val (newLabels, release) = graft.core.Superstep.checkpointReleasable(
+        counts.unionByName(carrier)
+          .groupBy(col("dst")).agg(
+            max_by(col("label"), struct(col("n"), -col("label"))).as("label"),
+            max(when(col("n") === 0L, col("label"))).as("old_label"))
+          .select(col("dst").as("vertex"), col("label"), col("old_label"))
+      ) // materialized by the stability aggregate
 
       val changed = newLabels
         .agg(count(when(col("label") =!= col("old_label"), lit(1))).as("c"))
         .head().getLong(0)
       stable = changed == 0L
+      releasePrev()
+      releasePrev = release
       labels = newLabels.select(col("vertex"), col("label"))
       it += 1
     }

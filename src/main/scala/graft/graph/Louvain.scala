@@ -192,6 +192,8 @@ object Louvain {
     var pass = 0
     var anyMove = false
     var idleStreak = 0
+    // free pass k-1's checkpoint blocks once pass k is materialized
+    var releasePrev: () => Unit = () => ()
     while (pass < maxPasses && (!earlyStop || idleStreak < 2)) {
       // Σtot per community
       val tot = comm.join(kv, "vertex").groupBy(col("comm")).agg(sum(col("k")).as("tot"))
@@ -222,9 +224,12 @@ object Louvain {
           when(parityBit(col("ph"), bitPos) === lit(parity) && col("best_score") > col("stay_score"),
             col("best")).otherwise(col("cur")).as("comm"),
           col("cur").as("old_comm"))
-      val nextCk = graft.core.Superstep.checkpoint(next) // materialized by the move-count aggregate
+      val (nextCk, release) = // materialized by the move-count aggregate
+        graft.core.Superstep.checkpointReleasable(next)
       val moves = nextCk.agg(count(when(col("comm") =!= col("old_comm"), lit(1))))
         .head().getLong(0)
+      releasePrev()
+      releasePrev = release
       comm = nextCk.select(col("vertex"), col("comm"))
       anyMove ||= moves > 0
       idleStreak = if (moves == 0) idleStreak + 1 else 0

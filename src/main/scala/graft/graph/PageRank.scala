@@ -32,7 +32,11 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
-  final case class Result(ranks: DataFrame, iterations: Int, converged: Boolean)
+  /** @param stepSeconds wall seconds of each executed superstep (plan build
+    *   + the materializing aggregate action) — the raw series behind the
+    *   scaling bench's first-step vs steady-state decomposition. */
+  final case class Result(ranks: DataFrame, iterations: Int, converged: Boolean,
+                          stepSeconds: Seq[Double] = Nil)
 
   /** @param edges (src: Long, dst: Long) directed; parallel edges allowed
     *              (they weight the transition like multi-links).
@@ -116,7 +120,12 @@ object PageRank {
       if (!delta.isNaN) converged = delta < tol
     }
 
+    val stepSecs = Vector.newBuilder[Double]
+    // frees superstep k-1's checkpoint blocks once k is materialized; the
+    // FINAL state is never released (the caller reads Result.ranks from it)
+    var releasePrev: () => Unit = () => ()
     while (!converged && it < maxIter) {
+      val loopT0 = System.nanoTime()
       // Pregel union-carrier: the state row rides along as a
       // zero-contribution message carrying (dangling, old_rank), so the new
       // state is ONE aggregation — no contribs→state join, no sort, and
@@ -145,9 +154,9 @@ object PageRank {
           (lit(1.0 - damping) * col("tele") + lit(damping) * col("in_mass")
             + lit(damping * danglingMass) * col("tele")).as("rank"),
           col("old_rank"))
-      val next = ckpt match {
-        case Some(c) => c.write(it, next0) // durable superstep barrier
-        case None    => graft.core.Superstep.checkpoint(next0) // materialized by the agg
+      val (next, release) = ckpt match {
+        case Some(c) => (c.write(it, next0), () => ()) // durable superstep barrier
+        case None    => graft.core.Superstep.checkpointReleasable(next0) // materialized by the agg
       }
 
       val row = next.agg(
@@ -158,12 +167,18 @@ object PageRank {
       danglingMass = row.getDouble(1)
       ckpt.foreach(_.seal(it, (System.nanoTime() - stepT0) / 1e9, delta, danglingMass))
 
+      // step-k state is fully materialized (the agg read every partition):
+      // step k-1's checkpointed blocks are dead — free them NOW instead of
+      // letting them pile up for the ContextCleaner (see Superstep scaladoc)
+      releasePrev()
+      releasePrev = release
       state = next.select(col("vertex"), col("dangling"), col("tele"), col("rank"))
       it += 1
       converged = delta < tol
+      stepSecs += (System.nanoTime() - loopT0) / 1e9
     }
     links.unpersist(blocking = false)
-    Result(state.select(col("vertex"), col("rank")), it, converged)
+    Result(state.select(col("vertex"), col("rank")), it, converged, stepSecs.result())
   }
 
   /** Undirected convenience: run on the symmetrized edge set. */

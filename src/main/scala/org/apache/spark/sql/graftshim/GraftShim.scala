@@ -32,9 +32,28 @@ object GraftShim {
     * the inherited stats; AQE re-plans joins from true runtime sizes anyway.
     */
   def localCheckpointResetStats(df: org.apache.spark.sql.DataFrame,
-                                eager: Boolean): org.apache.spark.sql.DataFrame = {
+                                eager: Boolean): org.apache.spark.sql.DataFrame =
+    localCheckpointResetStatsReleasable(df, eager)._1
+
+  /** [[localCheckpointResetStats]] plus a release thunk that UNPERSISTS the
+    * checkpointed blocks. A superstep loop that checkpoints new state every
+    * iteration otherwise accumulates every previous step's blocks until the
+    * ContextCleaner gets around to them — with a large driver heap GC (and
+    * hence the cleaner) runs rarely, and the memory store's eviction churn
+    * shows up as progressively slower supersteps late in a run. Call the
+    * thunk only once NOTHING will read that state again (a localCheckpoint
+    * has no lineage to recompute from): i.e. release step k-1 after step
+    * k's checkpoint has fully materialized. */
+  def localCheckpointResetStatsReleasable(df: org.apache.spark.sql.DataFrame,
+                                          eager: Boolean)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val ck = classic.localCheckpoint(eager)
-    ck.sparkSession.internalCreateDataFrame(ck.queryExecution.toRdd, ck.schema, isStreaming = false)
+    val handle = ck.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+    val out = ck.sparkSession.internalCreateDataFrame(
+      ck.queryExecution.toRdd, ck.schema, isStreaming = false)
+    (out, () => handle.foreach(_.unpersist(blocking = false)))
   }
 }
