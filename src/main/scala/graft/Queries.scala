@@ -253,6 +253,18 @@ object Queries {
       maxPasses = 4, maxLevels = 3, earlyStop = false)
       .assignment.orderBy("vertex")
 
+  /** Graph contraction: roll the part co-occurrence graph up to the BRAND
+    * graph (parts → brands :: pages → hosts on a web corpus) — inter-brand
+    * mass summed, intra-brand mass dropped. Oracled by a direct SQL
+    * relabel-and-aggregate over the same edge CTE and part table. */
+  def qContract(spark: SparkSession, sfDir: String): DataFrame = {
+    val mapping = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("vertex"), col("p_brand").as("group"))
+    graft.graph.Contraction.contract(
+        edges(spark, sfDir).select(col("src"), col("dst"), col("weight")), mapping)
+      .orderBy("src", "dst")
+  }
+
   /** Newman modularity of the connected-components partition (SQL-oracled:
     * DuckDB recomputes Q from the same recursive-CTE components). */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame =

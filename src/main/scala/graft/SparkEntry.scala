@@ -49,6 +49,7 @@ object SparkEntry {
     "q_pagerank_full"    -> (Queries.qPageRankFull _),
     "q_pagerank_weighted" -> (Queries.qPageRankWeighted _),
     "q_modularity"       -> (Queries.qModularity _),
+    "q_contract"         -> (Queries.qContract _),
     "q_kcore"            -> (Queries.qKCore _),
     "q_bfs_hops"         -> (Queries.qBfsHops _),
     "q_sssp_weighted"    -> (Queries.qSsspWeighted _),
@@ -330,6 +331,15 @@ object SparkEntry {
 
     "q_cc" ->
       s"WITH $CC SELECT v AS vertex, component FROM reach ORDER BY vertex",
+
+    "q_contract" ->
+      s"""WITH $EDGES_T2,
+         |mp AS (SELECT p_partkey AS v, p_brand AS g FROM part),
+         |rel AS (SELECT least(a.g, b.g) AS src, greatest(a.g, b.g) AS dst, e.weight
+         |  FROM e JOIN mp a ON e.src = a.v JOIN mp b ON e.dst = b.v
+         |  WHERE a.g <> b.g)
+         |SELECT src, dst, CAST(sum(weight) AS BIGINT) AS weight
+         |FROM rel GROUP BY src, dst ORDER BY src, dst""".stripMargin,
 
     "q_modularity" ->
       s"""WITH $CC,

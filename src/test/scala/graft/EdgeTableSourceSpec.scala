@@ -96,6 +96,34 @@ class EdgeTableSourceSpec extends SparkTestBase {
     assert(got == Map("aaa" -> 0L, "aa" -> 1L, "bb" -> 2L, "b" -> 3L))
   }
 
+  test("firstAppearanceRanks: filtered rows never register, order = row-major id scan") {
+    val p = writeTemp("synth.csv", csv)
+    val opts = EdgeTableSource.Options(sep = ",", idCols = Some(("id1", "id2")),
+      distanceCol = Some("ani"), distanceKind = graft.ingest.EdgeOps.Similarity,
+      filters = Seq(graft.ingest.EdgeOps.RangeFilter("ani", min = Some(0.70), max = None)))
+    val got = EdgeTableSource.firstAppearanceRanks(spark, p, opts)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the c-d row fails the ani filter BEFORE registration, so c,d are
+    // absent; otherwise ranks follow the reference's sequential scan
+    // (first id column before second, per surviving row)
+    assert(got == Map("xxx" -> 0L, "xx" -> 1L, "aaa" -> 2L, "aa" -> 3L,
+      "a" -> 4L, "x" -> 5L, "bb" -> 6L, "b" -> 7L), s"got $got")
+  }
+
+  test("firstAppearanceRanks: multi-file directory scans files in name order, headers skipped") {
+    val dir = Files.createTempDirectory("graft-fa-multi")
+    Files.write(dir.resolve("b-second.tsv"),
+      "u\tv\td\nn3\tn4\t0.5\nn1\tn5\t0.5\n".getBytes("UTF-8"))
+    Files.write(dir.resolve("a-first.tsv"),
+      "u\tv\td\nn1\tn2\t0.5\nn2\tn3\t0.5\n".getBytes("UTF-8"))
+    val got = EdgeTableSource.firstAppearanceRanks(spark, dir.toString,
+        EdgeTableSource.Options(sep = "\t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a-first.tsv scans before b-second.tsv (path-sorted), each header skipped
+    assert(got == Map("n1" -> 0L, "n2" -> 1L, "n3" -> 2L, "n4" -> 3L, "n5" -> 4L),
+      s"got $got")
+  }
+
   test("end-to-end single-linkage pipeline writes the golden assignments bytes") {
     val p = writeTemp("synth.csv", csv)
     val objsP = writeTemp("objs.tsv", "object\naaa\naa\na\nbb\nb\nc\nd\ne\nf\ng\nxxx\nxx\nx\n")

@@ -239,6 +239,25 @@ class GraphAlgoSpec extends SparkTestBase {
     assert(deltaGot == got)
   }
 
+  test("contraction rolls up groups, sums parallel mass, and routes self-loops by flag") {
+    import spark.implicits._
+    // vertices 0..5 in groups: {0,1}->g0, {2,3}->g1, {4,5}->g2; vertex 6 unmapped
+    val mapping = Seq((0L, "g0"), (1L, "g0"), (2L, "g1"), (3L, "g1"), (4L, "g2"), (5L, "g2"))
+      .toDF("vertex", "group")
+    val edges = Seq(
+      (0L, 2L, 1.0), (1L, 3L, 2.0),  // two g0-g1 edges -> summed mass 3
+      (3L, 4L, 5.0),                 // g1-g2
+      (0L, 1L, 7.0),                 // intra-g0 mass
+      (2L, 6L, 9.0)                  // endpoint outside the mapping: drops
+    ).toDF("src", "dst", "weight")
+    val dropped = graft.graph.Contraction.contract(edges, mapping)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(dropped == Set(("g0", "g1", 3.0), ("g1", "g2", 5.0)))
+    val kept = graft.graph.Contraction.contract(edges, mapping, keepSelfLoops = true)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(kept == Set(("g0", "g1", 3.0), ("g1", "g2", 5.0), ("g0", "g0", 7.0)))
+  }
+
   test("delta-frontier weighted SSSP stops at the weighted hop depth and detects divergence") {
     import spark.implicits._
     // planted path 0-1-2-...-19 with decreasing weights: weighted shortest
