@@ -88,6 +88,24 @@ object QueriesDoc {
     Dedup.minhashPairs(Tables.documents(spark, sfDir), threshold = 0.3)
       .orderBy("a", "b")
 
+  /** Gopher-style within-doc repetition signals (bigram duplicate mass). */
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(spark, sfDir), n = 2)
+      .orderBy("doc_id")
+
+  /** Test-set decontamination sweep: benchmark = every 97th doc_id; flag
+    * other documents sharing >= 1 distinct 5-gram with any benchmark doc.
+    * `hashShingles = false` pins the raw-string join the SQL twin replays;
+    * the library default is the 8-byte-hashed key (see Dedup scaladoc). */
+  def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.contamination(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        n = 5, minHits = 1L, hashShingles = false)
+      .orderBy("doc_id")
+  }
+
   /** Near-dup dedup groups: connected components over the MinHash-LSH pair
     * graph (the standard corpus-dedup pipeline shape: sketch → candidate
     * pairs → verify → transitive closure → keep one doc per cluster).

@@ -79,6 +79,8 @@ object SparkEntry {
     // dedup
     "q_exact_dedup"      -> (QueriesDoc.qExactDedup _),
     "q_ngram_pairs"      -> (QueriesDoc.qNgramPairs _),
+    "q_repetition"       -> (QueriesDoc.qRepetition _),
+    "q_contamination"    -> (QueriesDoc.qContamination _),
     "q_minhash_pairs"    -> (QueriesDoc.qMinhashPairs _),
     "q_neardup_clusters" -> (QueriesDoc.qNeardupClusters _),
     "q_simhash"          -> (QueriesDoc.qSimhash _),
@@ -756,6 +758,34 @@ object SparkEntry {
         |SELECT doc_id, canonical_id, group_size FROM norm JOIN g USING (norm) ORDER BY doc_id""".stripMargin,
 
     "q_ngram_pairs" -> JACCARD_PAIRS("WHERE doc_id < 300", 0.05),
+
+    // Gopher-style repetition: bigram multiset per doc, dup/top mass
+    // ratios. Integer counts -> exact divisions, 6-dp rounded both sides.
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(range(len(t) - 1), i -> array_to_string(t[i+1:i+2], ' ')) END AS shs FROM toks),
+        |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+        |cnt AS (SELECT doc_id, sh, count(*) AS c FROM ex GROUP BY doc_id, sh)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams, count(*) AS n_distinct,
+        |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS dup_ratio,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // decontamination replay on raw shingle strings (the catalog row pins
+    // hashShingles = false; the library default joins on xxhash64 keys)
+    "q_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh5 AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |  ELSE list_transform(range(len(t) - 4), i -> array_to_string(t[i+1:i+5], ' ')) END) AS shs FROM toks),
+        |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh5),
+        |bench AS (SELECT doc_id AS bench_id, sh FROM ex WHERE doc_id % 97 = 0),
+        |cand AS (SELECT doc_id, sh FROM ex WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, count(DISTINCT c.sh) AS n_shingles_hit,
+        |  count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM cand c JOIN bench b ON c.sh = b.sh
+        |GROUP BY c.doc_id HAVING count(DISTINCT c.sh) >= 1
+        |ORDER BY c.doc_id""".stripMargin,
 
     // The LSH path's output is BY CONSTRUCTION a subset of the brute-force
     // pairs (every candidate is verified with exact shingle Jaccard), so the

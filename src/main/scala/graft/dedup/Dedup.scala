@@ -141,6 +141,38 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: documents of `docs` that share at least
+    * `minHits` distinct n-gram shingles with ANY document of `bench` — the
+    * test-set-leakage sweep every training-data pipeline runs before a
+    * corpus ships.
+    *
+    * Shape: both sides explode to distinct shingles, equality-join on the
+    * shingle key, two-level partial-aggregated rollup per candidate doc.
+    * The benchmark side is benchmark-sized (tiny next to the corpus) —
+    * Catalyst broadcasts it; the corpus side stays a narrow scan.
+    * `hashShingles = true` (default) joins on xxhash64 of the shingle —
+    * 8-byte keys on the wire instead of n-token strings, the only sane
+    * key at 100 TB (collision odds are negligible for candidate FINDING;
+    * a hit-count off-by-one from a collision is harmless in a screening
+    * sweep). The catalog row pins `hashShingles = false` so the DuckDB
+    * twin can replay the join exactly on the raw shingle strings.
+    *
+    * @return (idCol, n_shingles_hit, n_bench_docs) for contaminated docs. */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 5, minHits: Long = 1L,
+                    hashShingles: Boolean = true): DataFrame = {
+    def exploded(df: DataFrame, as: String): DataFrame = {
+      val sh = explode(array_distinct(shingles(col(textCol), n))).as("sh")
+      val keyed = df.select(col(idCol).as(as), sh)
+      if (hashShingles) keyed.select(col(as), xxhash64(col("sh")).as("sh")) else keyed
+    }
+    exploded(docs, idCol).join(exploded(bench, "bench_id"), "sh")
+      .groupBy(col(idCol)).agg(
+        countDistinct(col("sh")).as("n_shingles_hit"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .where(col("n_shingles_hit") >= lit(minHits))
+  }
+
   /** Brute-force n-gram Jaccard pairs (the small-scale oracle for
     * minhashPairs; O(n²) — only for bounded inputs). */
   def jaccardPairsBrute(docs: DataFrame, threshold: Double, idCol: String = "doc_id",

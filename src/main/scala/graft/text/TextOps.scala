@@ -49,6 +49,29 @@ object TextOps {
       size(filter(tokens(lower(text)), t => array_contains(all, t))).cast("double") / n)
   }
 
+  /** Within-document repetition (boilerplate) signals — the Gopher-style
+    * quality rules: `dup_ratio` = fraction of n-gram occurrences that are
+    * repeats of an earlier occurrence, `top_ratio` = mass of the single
+    * most frequent n-gram. High values flag templated/boilerplate pages.
+    *
+    * Shape: explode n-grams → two partial-aggregated groupBys keyed by
+    * (doc, ngram) then doc — no per-doc state on the driver, scales with
+    * corpus size. Ratios are exact integer divisions (both counts ≤ 2^53),
+    * so the DuckDB twin reproduces them bit-for-bit after 6-dp rounding.
+    *
+    * @return (idCol, n_ngrams, n_distinct, dup_ratio, top_ratio) */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 2): DataFrame = {
+    val ex = docs.select(col(idCol),
+      explode(graft.dedup.Dedup.shingles(col(textCol), n)).as("sh"))
+    ex.groupBy(col(idCol), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("c")), 6).as("dup_ratio"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6).as("top_ratio"))
+  }
+
   /** Language ID: argmax stopword hits, ties broken by lang name asc,
     * no hits at all → "und" (undetermined). Implemented as a single
     * least()-over-structs expression — fully codegen, no shuffle. */

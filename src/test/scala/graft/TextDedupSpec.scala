@@ -85,4 +85,35 @@ class TextDedupSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().toSet
     assert(got == Set(101L, 103L))
   }
+
+  test("repetition stats: duplicate and top-ngram mass per document") {
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams: "a b","b a","a b","b a" -> dup 0.5, top 0.5
+      (2L, "x"),         // short doc: single whole-text shingle
+      (3L, "u v w x")    // all-distinct bigrams
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) == ((4L, 2L, 0.5, 0.5)))
+    assert(got(2L) == ((1L, 1L, 0.0, 1.0)))
+    assert(got(3L) == ((3L, 3L, 0.0, round6(1.0 / 3))))
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+  test("contamination flags shingle overlap with the benchmark set, hashed and raw keys agree") {
+    val bench = Seq((900L, "p q r s t u")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "z p q r s t"),       // shares 5-gram "p q r s t" -> 1 hit
+      (2L, "totally different words here"),
+      (3L, "q r s t u and more") // shares "q r s t u" -> 1 hit
+    ).toDF("doc_id", "text")
+    def run(hashed: Boolean) = graft.dedup.Dedup.contamination(
+        docs, bench, n = 5, hashShingles = hashed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val raw = run(false)
+    assert(raw == Set((1L, 1L, 1L), (3L, 1L, 1L)), s"got $raw")
+    assert(run(true) == raw)
+  }
 }
