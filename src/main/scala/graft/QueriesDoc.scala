@@ -88,6 +88,11 @@ object QueriesDoc {
     Dedup.minhashPairs(Tables.documents(spark, sfDir), threshold = 0.3)
       .orderBy("a", "b")
 
+  /** Deterministic 90/5/5 split assignment (md5 u-value vs cumulative
+    * cuts; the SQL twin inlines the same cut doubles). */
+  def qSplit(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.splitAssign(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
   /** Gopher-style within-doc repetition signals (bigram duplicate mass). */
   def qRepetition(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.repetitionStats(Tables.documents(spark, sfDir), n = 2)

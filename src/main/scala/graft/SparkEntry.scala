@@ -80,6 +80,7 @@ object SparkEntry {
     "q_exact_dedup"      -> (QueriesDoc.qExactDedup _),
     "q_ngram_pairs"      -> (QueriesDoc.qNgramPairs _),
     "q_repetition"       -> (QueriesDoc.qRepetition _),
+    "q_split"            -> (QueriesDoc.qSplit _),
     "q_contamination"    -> (QueriesDoc.qContamination _),
     "q_minhash_pairs"    -> (QueriesDoc.qMinhashPairs _),
     "q_neardup_clusters" -> (QueriesDoc.qNeardupClusters _),
@@ -758,6 +759,18 @@ object SparkEntry {
         |SELECT doc_id, canonical_id, group_size FROM norm JOIN g USING (norm) ORDER BY doc_id""".stripMargin,
 
     "q_ngram_pairs" -> JACCARD_PAIRS("WHERE doc_id < 300", 0.05),
+
+    // split replay: same md5 u-value, same cut DOUBLES (Double.toString
+    // round-trips exactly, so both engines compare identical bits)
+    "q_split" -> {
+      val cuts = graft.text.TextOps.splitCuts(
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      s"""SELECT doc_id, CASE
+         |  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < ${cuts(0)} THEN 'train'
+         |  WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < ${cuts(1)} THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // Gopher-style repetition: bigram multiset per doc, dup/top mass
     // ratios. Integer counts -> exact divisions, 6-dp rounded both sides.

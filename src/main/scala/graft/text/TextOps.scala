@@ -49,6 +49,33 @@ object TextOps {
       size(filter(tokens(lower(text)), t => array_contains(all, t))).cast("double") / n)
   }
 
+  /** Deterministic train/val/test split: bucket = position of the uniform
+    * hash value u(id) = int(first 8 hex chars of md5(id)) ∈ [0, 2^32)
+    * among the cumulative weight cuts. Stable under any re-partitioning /
+    * re-run / corpus growth (a document's split never changes when other
+    * documents are added — the property a training pipeline needs), and
+    * md5-derived so any engine reproduces the exact assignment
+    * ([[splitCuts]] exposes the cut values the SQL twin inlines). */
+  def splitAssign(docs: DataFrame, idCol: String = "doc_id",
+                  weights: Seq[(String, Double)] =
+                    Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    val cuts = splitCuts(weights)
+    val split = weights.init.zip(cuts.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cut)) =>
+        Some(acc.map(_.when(u < lit(cut), name)).getOrElse(when(u < lit(cut), name)))
+    }.map(_.otherwise(weights.last._1)).getOrElse(lit(weights.head._1))
+    docs.select(col(idCol), split.as("split"))
+  }
+
+  /** Cumulative u-space cut points for [[splitAssign]] (last = 2^32). */
+  def splitCuts(weights: Seq[(String, Double)]): Seq[Double] = {
+    val total = weights.map(_._2).sum
+    weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total * 4294967296.0)
+  }
+
   /** Within-document repetition (boilerplate) signals — the Gopher-style
     * quality rules: `dup_ratio` = fraction of n-gram occurrences that are
     * repeats of an earlier occurrence, `top_ratio` = mass of the single

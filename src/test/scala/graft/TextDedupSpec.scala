@@ -86,6 +86,21 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == Set(101L, 103L))
   }
 
+  test("hash split: deterministic, stable under corpus growth, ~weight proportions") {
+    val docs = (0L until 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val full = graft.text.TextOps.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // growth stability: the first 500 docs keep their assignment when the
+    // other 1500 are absent — split is a pure per-id function
+    val sub = graft.text.TextOps.splitAssign(docs.where(col("doc_id") < 500))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub == full.filter(_._1 < 500))
+    // proportions track the weights (md5 u-values are uniform)
+    val trainFrac = full.values.count(_ == "train") / 2000.0
+    assert(math.abs(trainFrac - 0.9) < 0.03, s"train fraction $trainFrac")
+    assert(full.values.toSet == Set("train", "val", "test"))
+  }
+
   test("repetition stats: duplicate and top-ngram mass per document") {
     val docs = Seq(
       (1L, "a b a b a"), // bigrams: "a b","b a","a b","b a" -> dup 0.5, top 0.5
