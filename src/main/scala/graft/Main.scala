@@ -103,6 +103,9 @@ object Main {
       case None => more = false
     }
     if (takeFlag("-v")) cfg = cfg.copy(verbose = true)
+    takeOpt("-t") // thread count: accepted for script compatibility, ignored
+                  // (parallelism is the Spark master/session's concern)
+    if (takeFlag("--version")) println("graft (clusty-compatible CLI) 0.1.0")
     if (takeFlag("--numeric-ids")) cfg = cfg.copy(numericIds = true)
     if (takeFlag("--out-representatives")) cfg = cfg.copy(outRepresentatives = true)
     if (takeFlag("--out-csv")) cfg = cfg.copy(outCsv = true)

@@ -63,14 +63,29 @@ object DumpPlans {
         "8-byte ids before the vectors are joined back for exact rerank. The plane " +
         "matrix is an md5-derived literal (no per-row hashing) — cross-engine " +
         "reproducible, so the DuckDB oracle replays the bucketing exactly."),
-      "q_ann_ivf" -> ("IVF probe: the trained centroids are plan literals; nearest-" +
-        "cell assignment and the nprobe cell choice are narrow codegen projections, " +
-        "candidates come from a broadcast join on the 8-byte cell key (at scale: the " +
-        "index's bucketing column, so probing = partition pruning), exact rerank via " +
-        "the bounded TopKAggregator."),
-      "q_ivf_cells" -> ("The inverted file: one narrow argmin-over-literal-centroids " +
+      "q_ann_ivf" -> ("IVF probe: nearest-cell assignment and the nprobe cell choice " +
+        "are the native NearestCell(s) codegen kernels — the centroid matrix is ONE " +
+        "codegen reference object and the argmin a runtime loop, so the plan is O(1) " +
+        "in nlist (the literal least() chain it replaced grew O(nlist x dim) and " +
+        "would blow whole-stage codegen at production cell counts); candidates come " +
+        "from a broadcast join on the 8-byte cell key (at scale: the index's " +
+        "bucketing column, so probing = partition pruning), exact rerank via the " +
+        "bounded TopKAggregator."),
+      "q_ivf_cells" -> ("The inverted file: one narrow native-kernel argmin " +
         "projection + one partial-aggregated count per cell; no data-plane collect " +
         "(training's per-iteration centroid collect is nlist x dim model state)."),
+      "q_contract" -> ("Graph contraction (page->host rollup shape): two equi-joins " +
+        "of the edge table against the vertex->group mapping (AQE broadcasts the " +
+        "mapping when it fits), then one partial-aggregated groupBy on the " +
+        "contracted endpoints — no driver state, no windows."),
+      "q_repetition" -> ("Within-doc repetition: explode bigrams, two " +
+        "partial-aggregated hash rollups ((doc,ngram) then doc); ratios are narrow " +
+        "projections over the final aggregate."),
+      "q_contamination" -> ("Decontamination sweep: both sides explode to distinct " +
+        "shingles; the benchmark side is a sliver of the corpus so AQE broadcasts " +
+        "it; two-level partial-aggregated rollup per candidate doc."),
+      "q_split" -> ("Deterministic split: a single narrow codegen projection " +
+        "(md5 + conv + chained comparisons) — no exchange at all."),
       "q_neardup_clusters" -> ("Dedup-pipeline composition: LSH candidate pairs -> " +
         "exact-Jaccard verify -> small-star/large-star connected components -> left " +
         "join back to the corpus; the pair graph is tiny relative to the corpus, so " +

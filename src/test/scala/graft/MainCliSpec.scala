@@ -88,4 +88,10 @@ class MainCliSpec extends SparkTestBase {
   test("parse: missing positionals is a usage error, not paths named like options") {
     intercept[IllegalArgumentException] { Main.parse(Seq("--algo", "single")) }
   }
+
+  test("parse: clusty compatibility flags -t/-v/--version are accepted") {
+    val cfg = Main.parse(Seq("-t", "8", "--algo", "single", "-v",
+      "--version", "in.tsv", "out.tsv"))
+    assert(cfg.verbose && cfg.distances == "in.tsv" && cfg.output == "out.tsv")
+  }
 }
