@@ -265,6 +265,13 @@ object Queries {
       .orderBy("src", "dst")
   }
 
+  /** Deterministic random-walk corpus (4 hops from every vertex, md5-picked
+    * neighbor indices) — DeepWalk-style embedding training data; every hop
+    * replayed by the DuckDB recursive-CTE twin. */
+  def qWalks(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.RandomWalks.walks(spark, edges(spark, sfDir), length = 4)
+      .orderBy("walk_id", "step")
+
   /** Newman modularity of the connected-components partition (SQL-oracled:
     * DuckDB recomputes Q from the same recursive-CTE components). */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame =

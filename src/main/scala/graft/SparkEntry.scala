@@ -50,6 +50,7 @@ object SparkEntry {
     "q_pagerank_weighted" -> (Queries.qPageRankWeighted _),
     "q_modularity"       -> (Queries.qModularity _),
     "q_contract"         -> (Queries.qContract _),
+    "q_walks"            -> (Queries.qWalks _),
     "q_kcore"            -> (Queries.qKCore _),
     "q_bfs_hops"         -> (Queries.qBfsHops _),
     "q_sssp_weighted"    -> (Queries.qSsspWeighted _),
@@ -334,6 +335,24 @@ object SparkEntry {
 
     "q_cc" ->
       s"WITH $CC SELECT v AS vertex, component FROM reach ORDER BY vertex",
+
+    // every hop of the deterministic walk replayed: same md5-derived
+    // neighbor index u(walk,k) mod degree over the same ranked adjacency
+    "q_walks" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |adj AS (SELECT src, dst,
+         |  CAST(row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS rn FROM bi),
+         |dg AS (SELECT src, count(*) AS d FROM bi GROUP BY src),
+         |wk(walk_id, step, vertex) AS (
+         |  SELECT DISTINCT src, 0, src FROM bi
+         |  UNION ALL
+         |  SELECT w.walk_id, w.step + 1, a.dst
+         |  FROM wk w JOIN dg ON dg.src = w.vertex
+         |  JOIN adj a ON a.src = w.vertex
+         |    AND a.rn = ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || ':' || CAST(w.step AS VARCHAR)), 1, 8))::BIGINT % dg.d
+         |  WHERE w.step < 4)
+         |SELECT walk_id, step, vertex FROM wk ORDER BY walk_id, step""".stripMargin,
 
     "q_contract" ->
       s"""WITH $EDGES_T2,

@@ -239,6 +239,32 @@ class GraphAlgoSpec extends SparkTestBase {
     assert(deltaGot == got)
   }
 
+  test("random walks follow real edges, are deterministic, and salt replicas collision-free") {
+    import spark.implicits._
+    val ring = (0L until 12L).map(i => (i, (i + 1) % 12)) ++ Seq((0L, 6L), (3L, 9L))
+    val df = ring.toDF("src", "dst")
+    val biSet = ring.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val w1 = graft.graph.RandomWalks.walks(spark, df, length = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(w1.length == 12 * 6) // 12 walks x steps 0..5
+    // every consecutive hop is a real edge
+    w1.groupBy(_._1).values.foreach { steps =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, a), (_, _, b)) => assert(biSet.contains((a, b)), s"$a->$b not an edge")
+        case _ => ()
+      }
+    }
+    // determinism: identical table on a rerun
+    val w2 = graft.graph.RandomWalks.walks(spark, df, length = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(w1.toSet == w2.toSet)
+    // replicas: walk ids disjoint, every walk still full-length
+    val w3 = graft.graph.RandomWalks.walks(spark, df, length = 3, walksPerVertex = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(w3.map(_._1).distinct.length == 24)
+    assert(w3.length == 24 * 4)
+  }
+
   test("contraction rolls up groups, sums parallel mass, and routes self-loops by flag") {
     import spark.implicits._
     // vertices 0..5 in groups: {0,1}->g0, {2,3}->g1, {4,5}->g2; vertex 6 unmapped
