@@ -150,9 +150,14 @@ object Main {
           max = Option(f.max).filter(_.isFinite))
       })
 
-  def execute(spark: SparkSession, cfg: Config): DataFrame = {
+  def execute(spark: SparkSession, cfg: Config): DataFrame =
+    execute(spark, cfg, EdgeTableSource.read(spark, cfg.distances, readOptions(spark, cfg)))
+
+  /** Variant taking the already-read (and possibly cached) filtered edge
+    * frame, so [[main]] can share ONE scan between the load report and the
+    * clustering run instead of re-reading the distance table. */
+  private[graft] def execute(spark: SparkSession, cfg: Config, rawEdges: DataFrame): DataFrame = {
     val opts = readOptions(spark, cfg)
-    val rawEdges = EdgeTableSource.read(spark, cfg.distances, opts)
     val universe = cfg.objectsFile.map(EdgeTableSource.readObjects(spark, _))
 
     // Dictionary: objects-file rank order when present (reference seeds
@@ -240,13 +245,18 @@ object Main {
     * row); the operators behind it are oracled via q_edge_stats /
     * q_weight_hist. */
   private def printLoadReport(spark: SparkSession, cfg: Config,
-                              opts: EdgeTableSource.Options): Unit = {
+                              opts: EdgeTableSource.Options, filtered: DataFrame): Unit = {
     val raw = EdgeTableSource.read(spark, cfg.distances,
       opts.copy(filters = Nil, dropSelfLoops = false, distanceKind = EdgeOps.RawDistance))
-    val filtered = EdgeTableSource.read(spark, cfg.distances, opts)
+    // one aggregate job per frame: stack both endpoint columns, then
+    // count(*)/2 = edges and countDistinct = nodes in a single pass (the
+    // reference counts during its single load pass, console.cpp:106-110);
+    // `filtered` is the cached frame execute() reuses, so the filtered side
+    // costs no extra input scan
     def stats(df: DataFrame): (Long, Long) = {
-      val nodes = df.select(col("src")).union(df.select(col("dst"))).distinct().count()
-      (nodes, df.count())
+      val row = df.select(col("src").as("v")).unionAll(df.select(col("dst").as("v")))
+        .agg(countDistinct(col("v")), count(lit(1))).head()
+      (row.getLong(0), row.getLong(1) / 2)
     }
     val (n0, e0) = stats(raw)
     val (n1, e1) = stats(filtered)
@@ -270,6 +280,11 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
+    // `--version` prints and exits BEFORE positional validation, like the
+    // reference's early ShowVersion return (src/params.cpp:30-34) — a
+    // migrating script's bare `clusty --version` probe must not die on the
+    // missing-positionals usage error
+    if (args.contains("--version")) { println("graft (clusty-compatible CLI) 0.1.0"); return }
     val cfg = parse(args.toSeq)
     val builder = SparkSession.builder().appName("graft")
     if (!sys.props.contains("spark.master") && sys.env.get("MASTER").isEmpty)
@@ -280,8 +295,12 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      printLoadReport(spark, cfg, readOptions(spark, cfg))
-      val out = execute(spark, cfg)
+      val opts = readOptions(spark, cfg)
+      // ONE filtered scan shared by the load report and the clustering run
+      val filtered = EdgeTableSource.read(spark, cfg.distances, opts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      printLoadReport(spark, cfg, opts, filtered)
+      val out = execute(spark, cfg, filtered)
       val sep = if (cfg.outCsv) "," else "\t"
       if (cfg.outRepresentatives)
         AssignmentsSink.writeWithRepresentatives(out, cfg.output, sep, singleFile = true)

@@ -151,7 +151,7 @@ object ScalingBench {
   }
 
   private def withSession(cores: Int)(f: SparkSession => Unit): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores)
@@ -160,13 +160,23 @@ object ScalingBench {
       // post-shuffle partitions on a modest graph, erasing the parallelism
       // difference this benchmark exists to measure. Skew handling stays on.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      // Shuffle spill dir on tmpfs: this box's /tmp is one virtio disk whose
-      // bandwidth is CONSTANT in cores — shuffle I/O on it shows up as a
-      // serial term in T(c) = S + P/c and caps measured efficiency. A real
-      // N→4N cluster brings N× local disks, so the shared-disk term is a
-      // single-box artifact this benchmark must not measure. 126 GB tmpfs,
-      // ~1-2 GB live shuffle per superstep: fits trivially.
-      .config("spark.local.dir", "/dev/shm/graft-shuffle")
+    // Shuffle spill dir on tmpfs: this box's /tmp is one virtio disk whose
+    // bandwidth is CONSTANT in cores — shuffle I/O on it shows up as a
+    // serial term in T(c) = S + P/c and caps measured efficiency. A real
+    // N→4N cluster brings N× local disks, so the shared-disk term is a
+    // single-box artifact this benchmark must not measure. 126 GB tmpfs,
+    // ~1-2 GB live shuffle per superstep: fits trivially. Gated on the
+    // directory existing and being writable (absent on e.g. macOS — fall
+    // back to the default spark.local.dir and SAY so, since the shared-disk
+    // serial term then caps the measurement).
+    val shm = new java.io.File("/dev/shm")
+    val spark = (if (shm.isDirectory && shm.canWrite)
+        builder.config("spark.local.dir", "/dev/shm/graft-shuffle")
+      else {
+        System.err.println("[scaling] /dev/shm unavailable: shuffle stays on the default " +
+          "local dir — expect a shared-disk serial term in the measured efficiency")
+        builder
+      })
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

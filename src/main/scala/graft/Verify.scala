@@ -17,10 +17,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Byte fixture for the media oracles: the SAME deterministic corpus the
     // q_media_* queries build in-memory, written where the driver's DuckDB
-    // can re-read the payload blobs ("_fixtures" so the driver's q_* glob
-    // ignores it). The __MEDIA_FIXTURE__ placeholder in the oracle SQL is
-    // substituted with this path below.
-    val mediaFixture = s"$outDir/_fixtures/media"
+    // can re-read the payload blobs. SIBLING of outDir (not inside it) so the
+    // driver's result glob never sees it as a spurious no-oracle query dir.
+    // The __MEDIA_FIXTURE__ placeholder in the oracle SQL is substituted
+    // with this path below.
+    val mediaFixture = s"${outDir.stripSuffix("/")}_fixtures/media"
     graft.multimodal.MediaSynth.mediaTable(spark, nPerKind = 50, seed = 42L)
       .coalesce(1).write.mode("overwrite").parquet(mediaFixture)
     SparkEntry.queries.foreach { case (name, fn) =>

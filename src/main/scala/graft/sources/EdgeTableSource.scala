@@ -177,14 +177,37 @@ object EdgeTableSource {
       (idx(f.column), f.min.getOrElse(Double.NegativeInfinity),
         f.max.getOrElse(Double.PositiveInfinity))).toArray
     val dropSelf = opts.dropSelfLoops
+    val numeric = opts.numericIds
     val needed = (Seq(i1, i2) ++ filt.map(_._1)).max + 1
 
+    // Survival rules must mirror the DataFrame read path EXACTLY, or the two
+    // scans can disagree on which rows register names (or this one can crash
+    // on input the edge reader accepts): a malformed numeric field there is
+    // cast("double") -> null -> dropped by the range predicate, so here it
+    // parses to None -> row dropped, never a NumberFormatException. Same for
+    // the self-loop drop in numeric mode: `CAST(id) IS NULL` makes the
+    // src<>dst predicate null -> row dropped, and the comparison is on the
+    // CAST values ("01" == "1"), not the raw tokens.
+    def parseD(s: String): Option[Double] = {
+      val t = s.trim
+      if (t.isEmpty) None else try Some(t.toDouble) catch { case _: NumberFormatException => None }
+    }
+    def parseL(s: String): Option[Long] = {
+      val t = s.trim
+      if (t.isEmpty) None else try Some(t.toLong) catch { case _: NumberFormatException => None }
+    }
     val pairs = orderedLines(spark, path).flatMap { case ((fi, off), line) =>
       val toks = line.split(sepRegex, -1)
       val ok = toks.length >= needed &&
         filt.forall { case (c, mn, mx) =>
-          val v = toks(c).trim.toDouble; v >= mn && v <= mx } &&
-        (!dropSelf || toks(i1) != toks(i2))
+          parseD(toks(c)).exists(v => v >= mn && v <= mx) } &&
+        (!dropSelf || {
+          if (numeric) (parseL(toks(i1)), parseL(toks(i2))) match {
+            case (Some(a), Some(b)) => a != b
+            case _ => false // null id -> null predicate -> row dropped
+          }
+          else toks(i1) != toks(i2)
+        })
       if (ok) Seq(((fi, off, 0), toks(i1)), ((fi, off, 1), toks(i2))) else Nil
     }
     val firstSeen = pairs

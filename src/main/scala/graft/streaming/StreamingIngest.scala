@@ -21,8 +21,15 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingIngest {
 
+  /** Commit marker placed in a delta dir AFTER its parquet write completes —
+    * same visibility rule as [[graft.graph.RankCheckpointer]]'s `_GRAFT_OK`:
+    * a torn dir from a crashed epoch has no marker and is INVISIBLE to
+    * [[edgeTable]] until the replayed epoch overwrites it and re-commits. */
+  private[streaming] val CommitMarker = "_GRAFT_OK"
+
   /** Start the ingest query over a streaming pages DataFrame.
-    * @param edgeDir delta root; each epoch writes `batch=<id>/` atomically.
+    * @param edgeDir delta root; each epoch writes `batch=<id>/` then commits
+    *                it with a [[CommitMarker]].
     * @param checkpointDir Structured Streaming checkpoint (source offsets). */
   def start(pages: DataFrame, edgeDir: String, checkpointDir: String): StreamingQuery =
     pages
@@ -32,16 +39,33 @@ object StreamingIngest {
       .where(col("dst").isNotNull && col("src") =!= col("dst"))
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dir = s"$edgeDir/batch=$id"
         batch.groupBy("src", "dst").agg(count(lit(1)).cast("double").as("weight"))
-          .write.mode("overwrite").parquet(s"$edgeDir/batch=$id")
+          .write.mode("overwrite").parquet(dir)
+        // overwrite removed any stale marker from a previous torn attempt;
+        // re-create it only once the full delta is durable
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        fs.create(new org.apache.hadoop.fs.Path(dir, CommitMarker), true).close()
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
 
-  /** The live edge table: compaction view over all committed deltas —
-    * identical rows to the batch extractor run over the same pages. */
-  def edgeTable(spark: SparkSession, edgeDir: String): DataFrame =
-    spark.read.option("basePath", edgeDir).parquet(s"$edgeDir/batch=*")
+  /** The live edge table: compaction view over the COMMITTED deltas only —
+    * identical rows to the batch extractor run over the same pages. Delta
+    * dirs without a [[CommitMarker]] (torn writes from a crashed epoch) are
+    * skipped; the streaming checkpoint replays that epoch, overwrites the
+    * torn dir and re-commits, so readers never see partial state. */
+  def edgeTable(spark: SparkSession, edgeDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(edgeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, CommitMarker)))
+      .map(_.getPath.toString)
+    require(committed.nonEmpty, s"no committed batch=* deltas under $edgeDir")
+    spark.read.option("basePath", edgeDir).parquet(committed: _*)
       .groupBy("src", "dst").agg(sum(col("weight")).as("weight"))
+  }
 }
