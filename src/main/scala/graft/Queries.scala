@@ -339,9 +339,13 @@ object Queries {
   /** REAL decode over a mixed media corpus: PNG dimensions + luminance
     * histogram via the JDK's ImageIO, PCM-WAV geometry + amplitude stats via
     * byte parsing; only the video rows go through the documented stub.
-    * Rows-only at the driver (ImageIO is not SQL-expressible); the decode
-    * kernels are pixel/sample-exact against MediaSynth's generator ground
-    * truth in MediaDecodeSpec. */
+    * DRIVER-ORACLED since round 4: the fixture PNGs carry stored-deflate
+    * (uncompressed) IDAT scanlines, so the DuckDB twin recomputes the
+    * luminance-histogram feature from the SAME bytes ImageIO decodes; WAV
+    * amplitude stats replay from the PCM samples, and the video stub's
+    * float32 fold is emulated step-for-step with ::REAL casts (SparkEntry
+    * VIDEO_F0). The decode kernels additionally stay pixel/sample-exact
+    * against MediaSynth's generator ground truth in MediaDecodeSpec. */
   def qMediaDecode(spark: SparkSession, sfDir: String): DataFrame = {
     val media = graft.multimodal.MediaSynth.mediaTable(spark, nPerKind = 50, seed = 42L)
     graft.multimodal.BinaryOps.decodeAll(media).toDF()
@@ -359,9 +363,9 @@ object Queries {
     * DuckDB twin parses width/height (big-endian IHDR ints) and
     * sample_rate/n_samples (little-endian canonical-header ints) straight
     * from the fixture's bytes, so the Spark decode path is checked against
-    * an independent byte-level re-parse. Only the pixel/sample FEATURE
-    * values (q_media_decode) stay rows-only — a second engine cannot rerun
-    * ImageIO. */
+    * an independent byte-level re-parse. Since round 4 the FEATURE values
+    * are oracled too (q_media_decode — stored-deflate PNG fixture makes the
+    * pixels byte-addressable without ImageIO). */
   def qMediaGeometry(spark: SparkSession, sfDir: String): DataFrame = {
     val media = graft.multimodal.MediaSynth.mediaTable(spark, nPerKind = 50, seed = 42L)
     graft.multimodal.BinaryOps.decodeAll(media).toDF()

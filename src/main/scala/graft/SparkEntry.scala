@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every query has a DuckDB-runnable SQL twin in [[oracleSql]] except the
-  * four genuinely non-SQL-expressible rows (the three JDK-ImageIO media
-  * queries and complete linkage, whose merge order follows heap-insertion
-  * tie-breaking) — those get the driver's rows-only check plus in-test
-  * Scala oracles, see src/test. Three oracle techniques cover the rest:
+  * Every query has a DuckDB-runnable SQL twin in [[oracleSql]] except ONE
+  * genuinely non-SQL-expressible row (complete linkage, whose merge order
+  * follows heap-insertion tie-breaking) — it gets the driver's rows-only
+  * check plus in-test Scala oracles, see src/test. Since round 4 even the
+  * media DECODE features replay in SQL (stored-deflate PNG fixture + float32
+  * fold emulation — see VIDEO_F0 below). Three oracle techniques cover the
+  * rest:
   *
   *  1. fixed-schedule fixpoint replay (PageRank variants, HITS, LPA,
   *     k-core, BFS/weighted SSSP, greedy-MIS covers, k-means IVF, and the
@@ -65,9 +67,9 @@ object SparkEntry {
     "q_cdhit"            -> (Queries.qCdHit _),
     "q_uclust"           -> (Queries.qUclust _),
     "q_complete_linkage" -> (Queries.qCompleteLinkage _),
-    // multimodal binary plumbing (deterministic mixed-media corpus; meta +
-    // geometry byte-reparsed by the DuckDB twin from the Verify-written
-    // fixture, pixel/sample decode rows-only)
+    // multimodal binary plumbing (deterministic mixed-media corpus; meta,
+    // geometry AND decode features byte-reparsed by the DuckDB twin from
+    // the Verify-written fixture)
     "q_media_meta"       -> (Queries.qMediaMeta _),
     "q_media_geometry"   -> (Queries.qMediaGeometry _),
     "q_media_decode"     -> (Queries.qMediaDecode _),
@@ -180,7 +182,7 @@ object SparkEntry {
     s"""WITH RECURSIVE $EDGES_T2,
        |$GREEDY_BI,
        |$ordSql,
-       |${GREEDY_MIS(25)},
+       |${GREEDY_MIS(graft.tools.OracleCalibration.MisReplayRounds)},
        |nonseed AS (
        |  SELECT vertex, cluster FROM (
        |    SELECT bi.u AS vertex, bi.v AS cluster,
@@ -203,15 +205,17 @@ object SparkEntry {
     * a level boundary (next step ≡ 0 mod cycle = mod 20) the refined label
     * becomes the new super-vertex (contraction).
     *
-    * CALIBRATION CAVEAT: the replay depths are margins over the CURRENT
-    * testdata, not invariants — ccSteps = 16 covers a measured refinement
-    * propagation depth ≤ 5 (3x margin; the Spark side runs its CC to full
-    * convergence, so a graph with deeper intra-community chains would make
-    * the SQL twin under-propagate and the driver gate report a FALSE fail
-    * on a correct engine). Same for GREEDY_MIS(25) below: ~log-depth greedy
-    * frontier on this data. If the testdata generator changes, re-measure
-    * both depths (log2(|V|) ≈ 11 at sf0.01 is a safe floor) before trusting
-    * a red gate. All masses are counts of base bi-edges
+    * CALIBRATION: the replay depths are margins over the CURRENT testdata,
+    * not invariants — ccSteps (= [[graft.tools.OracleCalibration.RefineReplaySteps]])
+    * covers a measured refinement propagation depth ≤ 5, and the cover
+    * oracles' GREEDY_MIS rounds (= [[graft.tools.OracleCalibration.MisReplayRounds]])
+    * cover a measured 7–9-round greedy frontier. Since round 4 the margins
+    * are GUARDED, not just documented: graft.Verify re-measures both
+    * fixpoint depths on the data under verification and fails with a
+    * recalibration message once either exceeds half its margin
+    * (OracleCalibration.check), so a testdata change can no longer surface
+    * as an uninterpretable red driver gate. All masses are counts of base
+    * bi-edges
     * grouped by the composed labels — identical VALUES to the coarse-graph
     * aggregates the Spark side computes, and exact integers, so the gain
     * scores `kc − ((γ·k)·(Σtot−adj))/2m` match IEEE-bit-for-bit. */
@@ -428,7 +432,7 @@ object SparkEntry {
       s"""WITH RECURSIVE $EDGES_T2,
          |$GREEDY_BI,
          |$ORD_RANK,
-         |${GREEDY_MIS(25)},
+         |${GREEDY_MIS(graft.tools.OracleCalibration.MisReplayRounds)},
          |nonseed AS (
          |  SELECT vertex, cluster FROM (
          |    SELECT bi.u AS vertex, bi.v AS cluster,
@@ -442,14 +446,14 @@ object SparkEntry {
 
     "q_louvain" ->
       s"""WITH RECURSIVE $EDGES_T2,
-         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = 16, levels = 3)}
-         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + 16) * 3}
+         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = graft.tools.OracleCalibration.RefineReplaySteps, levels = 3)}
+         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + graft.tools.OracleCalibration.RefineReplaySteps) * 3}
          |ORDER BY vertex""".stripMargin,
 
     "q_louvain_weighted" ->
       s"""WITH RECURSIVE $EDGES_T2,
-         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = 16, levels = 3, weighted = true)}
-         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + 16) * 3}
+         |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = graft.tools.OracleCalibration.RefineReplaySteps, levels = 3, weighted = true)}
+         |SELECT v AS vertex, unit AS community FROM lst WHERE step = ${(4 + graft.tools.OracleCalibration.RefineReplaySteps) * 3}
          |ORDER BY vertex""".stripMargin,
 
     // ---- iterative graph family: recursive-CTE fixpoint replays ----------
@@ -714,7 +718,82 @@ object SparkEntry {
       |       ELSE 'application/octet-stream' END AS kind
       |  FROM m)""".stripMargin
 
+  /** Full decode-feature replay for q_media_decode — possible WITHOUT
+    * running ImageIO because every fixture payload is byte-addressable:
+    *  - PNG: [[graft.multimodal.MediaSynth.pngBytes]] emits a zlib
+    *    STORED-block IDAT, so pixel (x,y)'s RGB sits at blob offset
+    *    48 + y·(1+3w) + 1 + 3x and the luminance histogram's bin-0 mass is
+    *    a direct SQL aggregate over the same bytes ImageIO decodes;
+    *  - WAV: PCM samples are plain little-endian int16 at offset 44;
+    *  - mp4 stub: the documented deterministic fake is a float32 fold over
+    *    byte lanes — replayed exactly by forcing each accumulation step
+    *    through REAL (`CAST(CAST(a+b AS REAL) AS DOUBLE)` == IEEE float32
+    *    addition, since rounding a double sum of two floats to float equals
+    *    the float sum).
+    * Float exactness: all remaining math is integer-valued (counts, abs
+    * sums <= 2^53) with division order mirrored from the Scala kernels;
+    * the final float32 cast is replicated with ::REAL before the shared
+    * 6-dp rounding. */
+  private val VIDEO_F0 =
+    """vid AS (SELECT url, hx, n_bytes AS n FROM k WHERE kind = 'video/mp4'),
+      |vfr AS (SELECT url, hx, n, f FROM vid CROSS JOIN range(8) t(f) WHERE f * 1024 < n AND f % 4 = 0),
+      |vby AS (SELECT url, f, j, j % 8 AS lane,
+      |        ((('0x'||substr(hx, 2*(f*1024 + j) + 1, 2))::BIGINT) - 128) / 128.0 AS v
+      |        FROM vfr CROSS JOIN range(1024) t2(j) WHERE f*1024 + j < n),
+      |vln AS (SELECT url, f, lane,
+      |        list_reduce(list_prepend(0.0, list(v ORDER BY j)), (a,b) -> CAST(CAST(a+b AS REAL) AS DOUBLE)) AS acc
+      |        FROM vby GROUP BY url, f, lane),
+      |vpv AS (SELECT url, f,
+      |        coalesce(max(CASE WHEN lane=0 THEN acc END), 0.0) AS l0,
+      |        coalesce(max(CASE WHEN lane=1 THEN acc END), 0.0) AS l1,
+      |        coalesce(max(CASE WHEN lane=2 THEN acc END), 0.0) AS l2,
+      |        coalesce(max(CASE WHEN lane=3 THEN acc END), 0.0) AS l3,
+      |        coalesce(max(CASE WHEN lane=4 THEN acc END), 0.0) AS l4,
+      |        coalesce(max(CASE WHEN lane=5 THEN acc END), 0.0) AS l5,
+      |        coalesce(max(CASE WHEN lane=6 THEN acc END), 0.0) AS l6,
+      |        coalesce(max(CASE WHEN lane=7 THEN acc END), 0.0) AS l7
+      |        FROM vln GROUP BY url, f),
+      |vnm AS (SELECT url, f, l0,
+      |        sqrt(((((((((0.0+l0*l0)+l1*l1)+l2*l2)+l3*l3)+l4*l4)+l5*l5)+l6*l6)+l7*l7)) AS nm
+      |        FROM vpv),
+      |vff AS (SELECT url, f, CASE WHEN nm > 0 THEN CAST(CAST(l0 / nm AS REAL) AS DOUBLE) ELSE l0 END AS f0f
+      |        FROM vnm),
+      |vnf AS (SELECT url, count(*) AS c FROM vff GROUP BY url),
+      |vf AS (SELECT vff.url,
+      |       round(list_reduce(list_prepend(0.0, list(CAST(CAST(f0f / c AS REAL) AS DOUBLE) ORDER BY f)),
+      |                         (a,b) -> CAST(CAST(a+b AS REAL) AS DOUBLE)), 6) AS f0
+      |       FROM vff JOIN vnf ON vff.url = vnf.url GROUP BY vff.url)""".stripMargin
+
   private def mediaOracleSql: Map[String, String] = Map(
+    "q_media_decode" ->
+      s"""WITH $MEDIA_SNIFFED,
+         |png AS (SELECT url, hx, ('0x'||substr(hx,33,8))::BIGINT AS w, ('0x'||substr(hx,41,8))::BIGINT AS h
+         |        FROM k WHERE kind = 'image/png'),
+         |ppx AS (SELECT url, hx, w, h, i % w AS x, i // w AS y
+         |        FROM png CROSS JOIN range(1024) t(i) WHERE i < w * h),
+         |plum AS (SELECT url, w, h,
+         |         (299 * ('0x'||substr(hx, 2*(48 + y*(1+3*w) + 1 + 3*x) + 1, 2))::BIGINT
+         |        + 587 * ('0x'||substr(hx, 2*(48 + y*(1+3*w) + 2 + 3*x) + 1, 2))::BIGINT
+         |        + 114 * ('0x'||substr(hx, 2*(48 + y*(1+3*w) + 3 + 3*x) + 1, 2))::BIGINT) // 1000 AS lum
+         |         FROM ppx),
+         |pf AS (SELECT url, round(CAST(CAST(SUM(CASE WHEN lum * 8 // 256 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / any_value(w * h) AS REAL)::DOUBLE, 6) AS f0 FROM plum GROUP BY url),
+         |wav AS (SELECT url, hx, (('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::BIGINT) // 2 AS n
+         |        FROM k WHERE kind = 'audio/wav'),
+         |wsm AS (SELECT url, n, ('0x'||substr(hx, 91 + 4*i, 2)||substr(hx, 89 + 4*i, 2))::BIGINT AS u
+         |        FROM wav CROSS JOIN range(1024) t(i) WHERE i < n),
+         |wf AS (SELECT url, round(CAST(CAST(SUM(ABS(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS DOUBLE)
+         |        / any_value(n) / 32768.0 AS REAL)::DOUBLE, 6) AS f0 FROM wsm GROUP BY url),
+         |$VIDEO_F0
+         |SELECT k.url, k.kind,
+         |  CASE WHEN kind='image/png' THEN ('0x'||substr(hx,33,8))::BIGINT ELSE -1 END AS width,
+         |  CASE WHEN kind='image/png' THEN ('0x'||substr(hx,41,8))::BIGINT ELSE -1 END AS height,
+         |  CASE WHEN kind='audio/wav' THEN ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::BIGINT ELSE -1 END AS sample_rate,
+         |  CASE WHEN kind='audio/wav' THEN (('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::BIGINT)//2 ELSE -1 END AS n_samples,
+         |  coalesce(pf.f0, wf.f0, vf.f0) AS f0
+         |FROM k LEFT JOIN pf USING (url) LEFT JOIN wf USING (url) LEFT JOIN vf USING (url)
+         |ORDER BY url""".stripMargin,
+
     "q_media_meta" ->
       s"""WITH $MEDIA_SNIFFED
          |SELECT kind, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes

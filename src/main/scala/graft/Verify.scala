@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Oracle-calibration guard FIRST: the greedy/Louvain SQL twins replay
+    // fixpoints with fixed margins calibrated to this testdata — if the data
+    // under verification has deepened past half a margin, fail the whole
+    // dump with the recalibration message instead of letting the driver
+    // gate go red on hash mismatches nobody can interpret.
+    graft.tools.OracleCalibration.check(spark, Queries.edges(spark, sfDir))
     // Byte fixture for the media oracles: the SAME deterministic corpus the
     // q_media_* queries build in-memory, written where the driver's DuckDB
     // can re-read the payload blobs. SIBLING of outDir (not inside it) so the

@@ -55,7 +55,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Louvain {
 
-  final case class Result(assignment: DataFrame, levels: Int)
+  /** @param refineDepths measured min-label propagation depth of each
+    *                     level's refinement (filled only when `run` is
+    *                     called with `measureRefineDepth = true`) — the
+    *                     number the driver-oracle's fixed `ccSteps` replay
+    *                     margin must cover (see
+    *                     [[graft.tools.OracleCalibration]]). */
+  final case class Result(assignment: DataFrame, levels: Int,
+                          refineDepths: Seq[Int] = Nil)
 
   /** Leiden's connectedness guarantee as a deterministic post-pass: every
     * returned community induces a CONNECTED subgraph. Synchronous Louvain
@@ -68,13 +75,55 @@ object Louvain {
     * intra-community edge set; new labels are the component's min member id
     * (globally unique across communities since vertex sets are disjoint).
     * Vertices with no intra-community edge become singletons. */
-  def ensureConnected(spark: SparkSession, edges: DataFrame, assignment: DataFrame): DataFrame = {
+  /** Intra-community edge restriction — shared by [[ensureConnected]] and
+    * the calibration probe ([[minLabelDepth]] via run's measure flag). */
+  private[graft] def intraEdges(edges: DataFrame, assignment: DataFrame): DataFrame = {
     val a = assignment.select(col("vertex"), col("community"))
-    val intra = edges
+    edges
       .join(a.select(col("vertex").as("src"), col("community").as("cs")), "src")
       .join(a.select(col("vertex").as("dst"), col("community").as("cd")), "dst")
       .where(col("cs") === col("cd"))
       .select(col("src"), col("dst"))
+  }
+
+  /** Convergence depth of synchronous min-label propagation over `edges`:
+    * the number of supersteps after which every vertex holds its
+    * component's minimum id. This is EXACTLY the step count the DuckDB
+    * oracle's fixed-schedule refinement replay needs per level — the Spark
+    * refinement itself uses the (faster-converging) small/large-star CC, so
+    * this probe exists purely to keep the replay margin honest. Bounded
+    * loop, localCheckpoint per step (O(1) plan). */
+  private[graft] def minLabelDepth(spark: SparkSession, edges: DataFrame,
+                                   cap: Int = 64): Int = {
+    val bi = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
+    var lbl = bi.select(col("u").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("lbl")).localCheckpoint(true)
+    var depth = 0
+    var changed = true
+    var releasePrev: () => Unit = () => ()
+    while (changed && depth < cap) {
+      val nb = bi.join(lbl.select(col("vertex").as("v"), col("lbl").as("nl")), "v")
+        .groupBy(col("u").as("vertex")).agg(min(col("nl")).as("nb"))
+      val next = lbl.join(nb, Seq("vertex"), "left")
+        .select(col("vertex"), least(col("lbl"), coalesce(col("nb"), col("lbl"))).as("lbl"),
+          col("lbl").as("old"))
+      val (ck, release) = graft.core.Superstep.checkpointReleasable(next)
+      val moves = ck.agg(count(when(col("lbl") =!= col("old"), lit(1)))).head().getLong(0)
+      releasePrev() // step k-1's blocks are dead once step k is materialized
+      releasePrev = release
+      lbl = ck.select(col("vertex"), col("lbl"))
+      changed = moves > 0
+      if (changed) depth += 1
+    }
+    releasePrev()
+    depth
+  }
+
+  def ensureConnected(spark: SparkSession, edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val a = assignment.select(col("vertex"), col("community"))
+    val intra = intraEdges(edges, a)
     val comp = ConnectedComponents.run(spark, intra)
       .select(col("vertex").as("v"), col("component"))
     a.join(comp, a("vertex") === comp("v"), "left")
@@ -103,7 +152,8 @@ object Louvain {
           maxPasses: Int = 20, maxLevels: Int = 4,
           weightCol: Option[String] = None,
           connectedGuarantee: Boolean = true,
-          earlyStop: Boolean = true): Result = {
+          earlyStop: Boolean = true,
+          measureRefineDepth: Boolean = false): Result = {
     // canonical weighted undirected edges; parallel edges sum
     val w0 = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
     var g = edges.select(col("src").cast("long"), col("dst").cast("long"), w0.as("w"))
@@ -120,9 +170,15 @@ object Louvain {
 
     var level = 0
     var improvedAtLevel = true
+    val refineDepths = scala.collection.mutable.ArrayBuffer.empty[Int]
     while ((improvedAtLevel || !earlyStop) && level < maxLevels) {
       val (commRaw, moved0) = movePhase(spark, g, resolution, maxPasses, earlyStop)
       val moved = moved0 || !earlyStop // fixed schedule: always proceed (no-ops are harmless)
+      if (measureRefineDepth && moved)
+        refineDepths += minLabelDepth(spark,
+          intraEdges(g.where(col("a") =!= col("b"))
+              .select(col("a").as("src"), col("b").as("dst")),
+            commRaw.select(col("vertex"), col("comm").as("community"))))
       // Leiden-style refinement BEFORE aggregation: split communities the
       // synchronous moves left internally disconnected, so contraction only
       // ever merges connected sets — the split parts are free to re-merge
@@ -157,7 +213,8 @@ object Louvain {
     }
     // per-level refinement already guarantees connectedness of the composed
     // partition (see loop)
-    Result(mapping.select(col("vertex"), col("cur").as("community")), level)
+    Result(mapping.select(col("vertex"), col("cur").as("community")), level,
+      refineDepths.toSeq)
   }
 
   /** One level's move passes. Returns (vertex, comm) and whether any vertex

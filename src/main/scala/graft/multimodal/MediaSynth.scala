@@ -22,18 +22,65 @@ object MediaSynth {
     h & 0xffffff
   }
 
-  /** Real PNG bytes of a w×h image with [[pixel]] ground-truth content.
-    * PNG is lossless: decode returns the exact pixels. */
+  /** Real PNG bytes of a w×h truecolor image with [[pixel]] ground-truth
+    * content — hand-assembled with a zlib STORED-block IDAT instead of
+    * ImageIO's deflate so the raw scanlines sit at fixed byte offsets inside
+    * the blob. That choice is what lets the driver's DuckDB oracle re-derive
+    * the decode features from the SAME bytes the Spark side decodes (a
+    * second engine cannot run ImageIO, but it can address
+    * offset 48 + y·(1+3w) + 1 + 3x for pixel (x,y)): signature(8) +
+    * IHDR chunk(25) + IDAT len/type(8) + zlib header(2) + stored-block
+    * header(5) = 48, one filter-0 byte per scanline. Still a fully valid
+    * PNG — ImageIO decodes it, and MediaDecodeSpec pins the decode
+    * pixel-exact. Stored deflate caps one block at 65535 bytes; fixture
+    * images are <= 24×24 (1752 raw bytes), enforced below. */
   def pngBytes(seed: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var p = 0
     var y = 0
     while (y < h) {
+      raw(p) = 0 // filter type None
+      p += 1
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(seed, x, y)); x += 1 }
+      while (x < w) {
+        val px = pixel(seed, x, y)
+        raw(p) = (px >> 16).toByte; raw(p + 1) = (px >> 8).toByte; raw(p + 2) = px.toByte
+        p += 3
+        x += 1
+      }
       y += 1
     }
+    require(raw.length <= 0xffff,
+      s"stored-deflate fixture encoder holds one block: ${w}x$h exceeds 65535 raw bytes")
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filter 0, no interlace
+      .array()
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val idat = java.nio.ByteBuffer.allocate(2 + 5 + raw.length + 4)
+      .put(0x78.toByte).put(0x01.toByte) // zlib CMF/FLG (30721 % 31 == 0)
+      .put(0x01.toByte)                  // BFINAL=1, BTYPE=00 (stored)
+      .put((raw.length & 0xff).toByte).put(((raw.length >> 8) & 0xff).toByte)
+      .put((~raw.length & 0xff).toByte).put(((~raw.length >> 8) & 0xff).toByte)
+      .put(raw)
+      .putInt(adler.getValue.toInt)
+      .array()
     val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    bos.write(chunk("IHDR", ihdr))
+    bos.write(chunk("IDAT", idat))
+    bos.write(chunk("IEND", Array.emptyByteArray))
     bos.toByteArray
   }
 

@@ -93,4 +93,49 @@ class SimilaritySpec extends SparkTestBase {
     val capped = Similarity.nearDupPairs(planted, threshold = 0.999, maxBucket = 1, dim = dim)
     assert(capped.count() == 0L)
   }
+
+  test("maxBucket cap is SELECTIVE: a planted mega-bucket is dropped, pairs in healthy buckets keep recall 1.0") {
+    // 60 identical vectors = one degenerate direction whose (band, bucket)
+    // entries number 60 in EVERY band — over the cap of 20, so the cap must
+    // drop all of them (the quadratic 60×60 candidate block) — while 5
+    // planted near-dup pairs along other directions live in buckets of ~2
+    // and must ALL survive. This is the documented cap contract: capping
+    // sacrifices only pairs inside over-cap buckets, never the rest.
+    val hotDir = Array.fill(dim)(rnd.nextGaussian())
+    val hot = (0 until 60).map(i => (2000L + i) -> hotDir.map(_.toFloat).toSeq)
+    val pairDirs = Array.fill(5, dim)(rnd.nextGaussian())
+    val pairs = (0 until 5).flatMap { i =>
+      Seq((3000L + i) -> pairDirs(i).map(_.toFloat).toSeq,
+          (3100L + i) -> pairDirs(i).map(x => (x * 1.0001).toFloat).toSeq)
+    }
+    val all = hot ++ pairs
+    val df = all.toDF("id", "vec")
+
+    def collectPairs(maxBucket: Int): Set[(Long, Long)] =
+      Similarity.nearDupPairs(df, threshold = 0.999, maxBucket = maxBucket, dim = dim)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val uncapped = collectPairs(maxBucket = 1000000)
+    val capped = collectPairs(maxBucket = 20)
+
+    val brute = (for {
+      (a, va) <- all; (b, vb) <- all if a < b
+      if cosScala(va, vb) >= 0.999
+    } yield (a, b)).toSet
+    val hotHot = brute.filter { case (a, b) => a >= 2000L && a < 3000L && b < 3000L }
+    val planted = (0 until 5).map(i => (3000L + i, 3100L + i)).toSet
+
+    // soundness both ways: LSH verifies candidates exactly, so output ⊆ brute
+    assert(uncapped.subsetOf(brute) && capped.subsetOf(brute))
+    // the mega-bucket really is degenerate and really was dropped
+    assert(hotHot.size == 60 * 59 / 2)
+    assert(uncapped.intersect(hotHot) == hotHot, "uncapped run must see the hot block")
+    assert(capped.intersect(hotHot).isEmpty, "cap failed to drop the mega-bucket")
+    // recall floor on healthy buckets: every planted pair survives the cap
+    assert(planted.subsetOf(capped),
+      s"cap dropped above-threshold pairs outside the mega-bucket: missing ${planted -- capped}")
+    // and capping lost NOTHING except hot-bucket pairs
+    assert(capped == uncapped -- hotHot,
+      "cap dropped pairs from buckets that were under the cap")
+  }
 }
