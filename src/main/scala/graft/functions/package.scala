@@ -26,6 +26,14 @@ package object functions {
   def resolve_url(base: Column, href: Column): Column =
     GraftShim.column(ResolveUrl(GraftShim.expression(base), GraftShim.expression(href)))
 
+  /** Stopword-argmax language ID (codegen, one pass — see [[StringLangId]]). */
+  def lang_id(text: Column): Column =
+    GraftShim.column(StringLangId(GraftShim.expression(text)))
+
+  /** Any-language stopword hit count, duplicates included (codegen). */
+  def stopword_hits(text: Column): Column =
+    GraftShim.column(StopwordHitCount(GraftShim.expression(text)))
+
   /** Register the native expressions as SQL functions on a live session
     * (alternative to spark.sql.extensions=graft.plans.GraftExtensions). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -34,5 +42,7 @@ package object functions {
     GraftShim.registerFunction(spark, "minhash64", es => MinHash64(es.head))
     GraftShim.registerFunction(spark, "extract_hrefs", es => ExtractHrefs(es.head))
     GraftShim.registerFunction(spark, "resolve_url", es => ResolveUrl(es(0), es(1)))
+    GraftShim.registerFunction(spark, "lang_id", es => StringLangId(es.head))
+    GraftShim.registerFunction(spark, "stopword_hits", es => StopwordHitCount(es.head))
   }
 }

@@ -41,8 +41,20 @@ object TextOps {
     size(filter(tokens(lower(text)), t => array_contains(words, t)))
   }
 
-  /** Total stopword hits across all languages (quality signal). */
+  /** Total stopword hits across all languages (quality signal). Native
+    * one-pass kernel ([[graft.functions.StopwordHitCount]]); the
+    * interpreted-HOF twin below is the spec cross-check. NOTE on the union:
+    * per-language lists overlap (e.g. "de" ∈ es∩fr), and a token counts
+    * ONCE regardless of how many lists contain it — both formulations and
+    * the DuckDB oracle's distinct-union list agree on that. */
   def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      graft.functions.stopword_hits(text).cast("double") / n)
+  }
+
+  /** Declarative (interpreted) twin of [[stopwordRatio]]. */
+  def stopwordRatioHof(text: Column): Column = {
     val all = array(Stopwords.values.flatten.toSeq.distinct.sorted.map(lit): _*)
     val n = tokenCount(text)
     when(n === 0, lit(0.0)).otherwise(
@@ -102,7 +114,13 @@ object TextOps {
   /** Language ID: argmax stopword hits, ties broken by lang name asc,
     * no hits at all → "und" (undetermined). Implemented as a single
     * least()-over-structs expression — fully codegen, no shuffle. */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = graft.functions.lang_id(text)
+
+  /** Declarative twin of [[langId]]: one interpreted HOF filter per
+    * language (the original formulation — q_langid's only above-noise
+    * bench drift traced to its first-evaluation cost, so the catalog now
+    * runs the native kernel; this stays as the parity cross-check). */
+  def langIdHof(text: Column): Column = {
     val langs = Stopwords.keys.toSeq.sorted
     val scored = langs.map(l => struct((-stopwordHits(text, l)).as("neg"), lit(l).as("lang")))
     val best = least(scored: _*)

@@ -126,6 +126,28 @@ class NativeFunctionsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
   }
 
+  test("StringLangId / StopwordHitCount kernels are identical to the HOF twins") {
+    import graft.text.TextOps
+    // mixed-language + edge-case corpus: ties (en+de words equal), overlap
+    // tokens ("de" ∈ es∩fr must count once in the union), casing (lower()
+    // parity), multi-space, empty, multi-byte
+    val tricky = Seq(
+      (1L, "the and of to DIE der und ist"),
+      (2L, "de de de que la el"),
+      (3L, "THE AND OF der die und"), // 3-3 tie -> lexicographically first lang
+      (4L, ""), (5L, "a  b   the"), (6L, "único café the 日本語"),
+      (7L, "xyzzy plugh nothing matches here")).toDF("doc_id", "text")
+    val both = tricky.union(docs).select(
+      TextOps.langId($"text").as("k"), TextOps.langIdHof($"text").as("h"),
+      TextOps.stopwordRatio($"text").as("kr"), TextOps.stopwordRatioHof($"text").as("hr"))
+    assert(both.where($"k" =!= $"h" || $"kr" =!= $"hr").count() == 0L)
+    // und on zero hits, exact tie goes to the smaller code
+    val m = tricky.select($"doc_id", TextOps.langId($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(7L) == "und" && m(4L) == "und")
+    assert(m(3L) == "de" || m(3L) == "en") // whichever, must equal the HOF (checked above)
+  }
+
   test("SQL registration path: simhash64/extract_hrefs callable from SQL") {
     graft.functions.registerAll(spark)
     docs.createOrReplaceTempView("nf_docs")
