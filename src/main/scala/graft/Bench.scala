@@ -38,8 +38,23 @@ object Bench {
       "q_ann_topk", "q_embed_neardup",
       "q_sessions", "q_window_counts")
 
-    // warm the JVM/codegen once on the smallest table scan
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Warm-up: run the whole headline set once at sf0.001 before timing.
+    // The recorded numbers are then steady-state operator cost, not
+    // first-evaluation JIT/codegen of whichever query happens to run a
+    // pipeline shape first — the round-3 q_langid "regression" was exactly
+    // such a cold-start artifact (BASELINE.md round-4 attribution). ~10 s,
+    // untimed, standard warmup-then-measure benchmarking discipline; the
+    // timed sf run still pays all of its own real work (scans, cache
+    // materialization, shuffles) at full scale.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      headline.foreach { name =>
+        try SparkEntry.queries(name)(spark, warmDir)
+          .write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+      Queries.clearCaches() // drop the tiny warm-tier caches before timing
+    } else spark.read.parquet(s"$sfDir/region.parquet").count()
 
     var results = headline.map { name =>
       val fn = SparkEntry.queries(name)
