@@ -311,11 +311,16 @@ object Queries {
       earlyStop = false)
       .assignment.orderBy("vertex")
 
-  /** Rows-only at the driver: each agglomerative merge depends on a global
-    * argmin whose tie order follows the heap's insertion sequence — with
-    * integer-derived distances, ties are pervasive and a SQL replay of the
-    * tie order is not well-defined. Correctness lives in GreedySpec, a
-    * 40-case scalacheck property vs the pre-heap formulation, and the
+  /** DuckDB-oracled since round 5 (previously the one rows-only row). The
+    * earlier "heap tie order is not SQL-replayable" claim was wrong: the
+    * lazy-deletion pop is a lexicographic argmin over (distance, clusterA,
+    * clusterB) — a total order on CURRENT cluster ids, independent of
+    * insertion sequence — and cluster-pair distance/adjacency are pure
+    * functions of the partition, so the whole merge sequence replays as a
+    * recursive CTE (batched Borůvka-style; derivation at the oracle entry
+    * in SparkEntry). Engine-side correctness additionally lives in
+    * GreedySpec, scalacheck properties (incl. the batched-equivalence
+    * property backing the oracle, CompleteLinkagePropertySpec), and the
     * reference repo's own vir61 complete-linkage goldens (MainCliSpec). */
   def qCompleteLinkage(spark: SparkSession, sfDir: String): DataFrame =
     GreedyClustering.completeLinkage(spark, distEdges(spark, sfDir),

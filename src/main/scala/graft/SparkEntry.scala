@@ -4,11 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every query has a DuckDB-runnable SQL twin in [[oracleSql]] except ONE
-  * genuinely non-SQL-expressible row (complete linkage, whose merge order
-  * follows heap-insertion tie-breaking) — it gets the driver's rows-only
-  * check plus in-test Scala oracles, see src/test. Since round 4 even the
-  * media DECODE features replay in SQL (stored-deflate PNG fixture + float32
+  * EVERY query has a DuckDB-runnable SQL twin in [[oracleSql]]. Since
+  * round 5 that includes complete linkage: the heap's lazy-deletion pop is
+  * a lexicographic argmin over (distance, clusterA, clusterB) — a total
+  * order, not insertion order — and because cluster state is fully
+  * determined by the partition (pair distance = max member-pair weight,
+  * pair adjacency = the member biclique condition), the merge sequence
+  * replays as a recursive CTE; see the q_complete_linkage entry for the
+  * batched locally-minimal-merge formulation. Since round 4 even the media
+  * DECODE features replay in SQL (stored-deflate PNG fixture + float32
   * fold emulation — see VIDEO_F0 below). Three oracle techniques cover the
   * rest:
   *
@@ -444,6 +448,60 @@ object SparkEntry {
          |SELECT vertex, cluster FROM nonseed
          |UNION ALL SELECT v, v FROM seeds ORDER BY vertex""".stripMargin,
 
+    // Complete linkage: exact agglomerative replay. Two facts make this SQL-
+    // expressible (validated against the heap implementation at sf0.01 —
+    // 772 merges, byte-identical — and by a 500-case random-graph property
+    // run during development; the in-repo equivalence property lives in
+    // CompleteLinkagePropertySpec):
+    //  1. STATE = PARTITION. Cluster-pair distance = max base-edge weight
+    //     between members, and pair adjacency = "every member pair is a base
+    //     edge" (the biclique condition) — both recomputable from the edge
+    //     table + current assignment, so no merge history must be carried.
+    //  2. The heap pop is the lexicographic argmin over
+    //     (distance, clusterA, clusterB) of current mergeable pairs (cluster
+    //     id = min member id; lazy deletion discards every stale entry), a
+    //     TOTAL order. A pair that is the argmin among all mergeable pairs
+    //     touching either of its clusters is exactly what the sequential
+    //     order would merge next (any later-created pair touching a cluster
+    //     keeps a strictly larger key: merged ids are min-members, so the
+    //     new pair's canonical key equals one of its constituent pairs', and
+    //     its distance is the max over constituents), and disjoint merges
+    //     commute by fact 1 — so each round merges ALL locally-minimal
+    //     pairs at once, Borůvka-style: depth falls from one-per-merge
+    //     (~772 at sf0.01) to ~7 rounds, and the recursion terminates by
+    //     itself when no mutually-connected pair remains (no calibrated
+    //     fixed depth — nothing for OracleCalibration to guard).
+    "q_complete_linkage" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |de AS (SELECT src, dst, 1.0/weight AS w FROM e),
+         |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM de UNION SELECT dst FROM de)),
+         |cl(step, v, c) AS (
+         |  SELECT 0, v, v FROM verts
+         |  UNION ALL
+         |  (WITH cur AS (SELECT * FROM cl),
+         |    sz AS (SELECT c, count(*) AS n FROM cur GROUP BY c),
+         |    cp AS (SELECT least(a.c,b.c) AS ca, greatest(a.c,b.c) AS cb,
+         |                  count(*) AS cnt, max(de.w) AS mx
+         |           FROM de JOIN cur a ON de.src=a.v JOIN cur b ON de.dst=b.v
+         |           WHERE a.c <> b.c GROUP BY 1,2),
+         |    mg AS (SELECT p.ca, p.cb, p.mx FROM cp p
+         |           JOIN sz sa ON sa.c=p.ca JOIN sz sb ON sb.c=p.cb
+         |           WHERE p.cnt = sa.n * sb.n),
+         |    ends AS (SELECT ca AS cl_id, mx, ca, cb FROM mg
+         |             UNION ALL SELECT cb, mx, ca, cb FROM mg),
+         |    loc AS (SELECT cl_id, ca, cb,
+         |              row_number() OVER (PARTITION BY cl_id ORDER BY mx ASC, ca ASC, cb ASC) AS rn
+         |            FROM ends),
+         |    win AS (SELECT m.ca, m.cb FROM mg m
+         |            JOIN loc la ON la.cl_id = m.ca AND la.rn = 1 AND la.ca = m.ca AND la.cb = m.cb
+         |            JOIN loc lb ON lb.cl_id = m.cb AND lb.rn = 1 AND lb.ca = m.ca AND lb.cb = m.cb)
+         |   SELECT cur.step+1, cur.v, coalesce(w.ca, cur.c)
+         |   FROM cur LEFT JOIN win w ON cur.c = w.cb
+         |   WHERE EXISTS (SELECT 1 FROM mg))
+         |)
+         |SELECT v AS vertex, c AS cluster FROM cl
+         |WHERE step = (SELECT max(step) FROM cl) ORDER BY vertex""".stripMargin,
+
     "q_louvain" ->
       s"""WITH RECURSIVE $EDGES_T2,
          |${LOUVAIN_SQL(gamma = 0.7, passes = 4, ccSteps = graft.tools.OracleCalibration.RefineReplaySteps, levels = 3)}
@@ -736,7 +794,7 @@ object SparkEntry {
     * 6-dp rounding. */
   private val VIDEO_F0 =
     """vid AS (SELECT url, hx, n_bytes AS n FROM k WHERE kind = 'video/mp4'),
-      |vfr AS (SELECT url, hx, n, f FROM vid CROSS JOIN range(8) t(f) WHERE f * 1024 < n AND f % 4 = 0),
+      |vfr AS (SELECT url, hx, n, f FROM vid CROSS JOIN range(64) t(f) WHERE f * 1024 < n AND f % 4 = 0),
       |vby AS (SELECT url, f, j, j % 8 AS lane,
       |        ((('0x'||substr(hx, 2*(f*1024 + j) + 1, 2))::BIGINT) - 128) / 128.0 AS v
       |        FROM vfr CROSS JOIN range(1024) t2(j) WHERE f*1024 + j < n),

@@ -2,7 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Write locations: query results land under `outDir/<name>/`; the media
+  * byte fixture deliberately lands in a SIBLING directory
+  * `<outDir>_fixtures/media` — i.e. OUTSIDE the caller-supplied outDir —
+  * because the driver globs the children of outDir as query-result dirs and
+  * a fixture dir inside it would register as a spurious no-oracle query. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -28,6 +34,13 @@ object Verify {
     // The __MEDIA_FIXTURE__ placeholder in the oracle SQL is substituted
     // with this path below.
     val mediaFixture = s"${outDir.stripSuffix("/")}_fixtures/media"
+    // A pre-round-4 dump wrote the fixture INSIDE outDir — delete any stale
+    // `$outDir/_fixtures` so the driver glob can't pick it up as a query dir.
+    val stale = Paths.get(outDir, "_fixtures")
+    if (Files.isDirectory(stale)) {
+      Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
     graft.multimodal.MediaSynth.mediaTable(spark, nPerKind = 50, seed = 42L)
       .coalesce(1).write.mode("overwrite").parquet(mediaFixture)
     SparkEntry.queries.foreach { case (name, fn) =>

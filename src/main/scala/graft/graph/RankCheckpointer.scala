@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * Iceberg table would use, and the writer is overwrite-idempotent so a
   * re-run of a crashed superstep converges to the same state).
   *
+  * ADR (BASELINE.md, round 5): this parquet+marker protocol is FINAL for
+  * the sandbox — no Iceberg/Delta jar ships in /opt/spark/jars and the
+  * build contract forbids new dependencies. This class is the designated
+  * SWAP POINT: on a production cluster, back the same interface with a
+  * catalog table (the step=k partition and idempotent-overwrite contract
+  * map 1:1 to Iceberg partition replace commits).
+  *
   * Layout under `dir`:
   *   step=<k>/               parquet state of superstep k (atomic: written
   *                           to a temp dir, renamed into place, _OK marker)

@@ -112,6 +112,13 @@ object MediaSynth {
     * video codec is not in this container; the frame-sampling path treats
     * the payload as opaque frames. */
   def mp4StubBytes(seed: Long, nBytes: Int): Array[Byte] = {
+    // The DuckDB decode oracle enumerates candidate frames with range(64)
+    // and prunes by `f*1024 < n_bytes` (SparkEntry.VIDEO_F0); a blob past
+    // 64 KiB would silently lose frames oracle-side and fail the driver
+    // gate on a correct engine — same fixture-coupled-bound class as the
+    // PNG 65535-byte stored-deflate guard above, so guard it the same way.
+    require(nBytes <= 64 * 1024,
+      s"video stub fixtures are capped at 65536 bytes (oracle frame bound): got $nBytes")
     val rnd = new Random(seed)
     val out = new Array[Byte](nBytes max 16)
     rnd.nextBytes(out)

@@ -58,11 +58,16 @@ object EdgeTableSource {
     }
     val dc = opts.distanceCol.map(resolve).getOrElse(header(2))
 
+    // try_cast, not cast: this build runs Spark 4 with ANSI mode on, where a
+    // plain cast of a malformed numeric string THROWS. The contract (mirrored
+    // by the RDD dictionary pass in firstAppearanceRanks) is that malformed
+    // numerics become null and the row is dropped by the range/self-loop
+    // predicates — try_cast restores exactly those null-on-error semantics.
     val idType = if (opts.numericIds) "long" else "string"
     val projected = raw.select(
-      (Seq(col(c1).cast(idType).as("src"), col(c2).cast(idType).as("dst"),
-        col(dc).cast("double").as("weight")) ++
-        opts.filters.map(f => col(resolve(f.column)).cast("double").as(f.column))): _*)
+      (Seq(col(c1).try_cast(idType).as("src"), col(c2).try_cast(idType).as("dst"),
+        col(dc).try_cast("double").as("weight")) ++
+        opts.filters.map(f => col(resolve(f.column)).try_cast("double").as(f.column))): _*)
 
     // P2 before anything downstream (ids of dropped rows never materialize)
     val filtered = EdgeOps.rangeFilters(projected, opts.filters)
@@ -183,11 +188,13 @@ object EdgeTableSource {
     // Survival rules must mirror the DataFrame read path EXACTLY, or the two
     // scans can disagree on which rows register names (or this one can crash
     // on input the edge reader accepts): a malformed numeric field there is
-    // cast("double") -> null -> dropped by the range predicate, so here it
-    // parses to None -> row dropped, never a NumberFormatException. Same for
-    // the self-loop drop in numeric mode: `CAST(id) IS NULL` makes the
-    // src<>dst predicate null -> row dropped, and the comparison is on the
-    // CAST values ("01" == "1"), not the raw tokens.
+    // try_cast("double") -> null -> dropped by the range predicate (ANSI mode
+    // is on in Spark 4, so a plain cast would THROW — [[read]] uses try_cast
+    // for precisely this parity), so here it parses to None -> row dropped,
+    // never a NumberFormatException. Same for the self-loop drop in numeric
+    // mode: `TRY_CAST(id) IS NULL` makes the src<>dst predicate null -> row
+    // dropped, and the comparison is on the cast values ("01" == "1"), not
+    // the raw tokens.
     def parseD(s: String): Option[Double] = {
       val t = s.trim
       if (t.isEmpty) None else try Some(t.toDouble) catch { case _: NumberFormatException => None }

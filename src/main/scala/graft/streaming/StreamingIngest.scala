@@ -18,6 +18,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * committed-partition idempotency contract as [[graft.graph.RankCheckpointer]]
   * (Iceberg semantics on the parquet stand-in). Compaction is one
   * partial-aggregated groupBy-sum, run on read or scheduled.
+  *
+  * ADR (BASELINE.md, round 5): parquet+marker is FINAL here (no table-format
+  * jar in the sandbox); [[edgeTable]] is the swap point where a production
+  * deployment would read a catalog table's committed snapshots instead.
   */
 object StreamingIngest {
 
@@ -60,12 +64,32 @@ object StreamingIngest {
   def edgeTable(spark: SparkSession, edgeDir: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(edgeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = fs.listStatus(root).toSeq
+    val batchDirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    val committed = batchDirs
       .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, CommitMarker)))
       .map(_.getPath.toString)
-    require(committed.nonEmpty, s"no committed batch=* deltas under $edgeDir")
-    spark.read.option("basePath", edgeDir).parquet(committed: _*)
+    // Pre-marker-era migration: delta roots written before the CommitMarker
+    // protocol carry ZERO markers. Refusing to read fully-intact data would
+    // make an upgrade destroy visibility, so when markers are entirely
+    // absent under a non-empty root, fall back to reading every batch dir
+    // with a loud warning (one-time fix: touch _GRAFT_OK in each). A MIXED
+    // root (some markers present) keeps strict marker semantics — there the
+    // unmarked dirs really are torn epochs.
+    val visible =
+      if (committed.nonEmpty) committed
+      else {
+        val all = batchDirs.map(_.getPath.toString)
+        if (all.nonEmpty) {
+          System.err.println(
+            s"[graft] WARN: no $CommitMarker markers under $edgeDir — " +
+              s"assuming pre-marker deltas and reading all ${all.size} batch dirs; " +
+              s"touch $CommitMarker in each to migrate")
+        }
+        all
+      }
+    require(visible.nonEmpty, s"no committed batch=* deltas under $edgeDir")
+    spark.read.option("basePath", edgeDir).parquet(visible: _*)
       .groupBy("src", "dst").agg(sum(col("weight")).as("weight"))
   }
 }

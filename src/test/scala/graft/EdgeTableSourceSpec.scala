@@ -77,6 +77,36 @@ class EdgeTableSourceSpec extends SparkTestBase {
     }
   }
 
+  test("malformed numeric fields null-drop identically in both scan paths (ANSI parity)") {
+    // Row 2 has a malformed distance ("oops") and row 4 a malformed numeric
+    // id ("4x"): under ANSI mode a plain cast would crash the DataFrame scan
+    // while the RDD dictionary pass silently drops — both must DROP (the
+    // try_cast contract), and the dictionary pass must agree row-for-row on
+    // which names register.
+    val p = writeTemp("malformed.tsv",
+      "i\tj\td\n10\t20\t0.5\n30\t40\toops\n50\t60\t0.25\n4x\t70\t0.5\n")
+    val opts = EdgeTableSource.Options(numericIds = true,
+      filters = Seq(EdgeOps.RangeFilter("d", min = Some(0.0))))
+    val e = EdgeTableSource.read(spark, p, opts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(e == Set((10L, 20L, 0.5), (50L, 60L, 0.25)))
+
+    // same input through the string-id dictionary pass: the malformed
+    // DISTANCE row must not register ids 30/40; the malformed-id row fails
+    // only in numeric mode (string mode keeps "4x" — a legal name there)
+    val ranks = EdgeTableSource.firstAppearanceRanks(spark, p,
+        EdgeTableSource.Options(filters = Seq(EdgeOps.RangeFilter("d", min = Some(0.0)))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks == Map("10" -> 0L, "20" -> 1L, "50" -> 2L, "60" -> 3L,
+      "4x" -> 4L, "70" -> 5L), s"got $ranks")
+
+    // and string-mode DataFrame read agrees with the dictionary pass
+    val eStr = EdgeTableSource.read(spark, p,
+        EdgeTableSource.Options(filters = Seq(EdgeOps.RangeFilter("d", min = Some(0.0)))))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(eStr == Set(("10", "20"), ("50", "60"), ("4x", "70")))
+  }
+
   test("objects file: rank = line order") {
     val p = writeTemp("objs.tsv", "object\naaa\naa\na\nbb\nb\nc\n")
     val got = EdgeTableSource.readObjects(spark, p).collect()

@@ -89,4 +89,29 @@ class StreamingIngestSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
     assert(seen == committed, "torn batch=999 was read by the compaction view")
   }
+
+  test("pre-marker delta roots (zero markers anywhere) stay readable after upgrade") {
+    val pagesDir = Files.createTempDirectory("graft-mig-pages").toString
+    val edgeDir = Files.createTempDirectory("graft-mig-edges").toString
+    val ckpt = Files.createTempDirectory("graft-mig-ckpt").toString
+
+    val pages = PageSynth.pages(spark, 80L, seed = 3L, numPartitions = 2)
+    pages.toDF().repartition(1).write.mode("append").parquet(pagesDir)
+    val schema = spark.read.parquet(pagesDir).schema
+    val q = StreamingIngest.start(
+      spark.readStream.schema(schema).parquet(pagesDir), edgeDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val withMarkers = StreamingIngest.edgeTable(spark, edgeDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+
+    // simulate a pre-upgrade root: intact data, no markers at all
+    java.nio.file.Files.walk(java.nio.file.Paths.get(edgeDir)).iterator()
+      .forEachRemaining { p =>
+        if (p.getFileName.toString == "_GRAFT_OK") java.nio.file.Files.delete(p)
+      }
+    val migrated = StreamingIngest.edgeTable(spark, edgeDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(migrated == withMarkers,
+      "marker-less (pre-upgrade) delta root became invisible")
+  }
 }
