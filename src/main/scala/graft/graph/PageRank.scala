@@ -58,17 +58,17 @@ object PageRank {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0)).as("w"))
 
-    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("outdeg"))
-
-    val vertices = e.select(col("src").as("vertex"))
-      .union(e.select(col("dst").as("vertex")))
-      .distinct()
-
-    // Pre-divide: contribution factor per edge = w/Σw(src). Partitioned
-    // on src once; the big side never moves again.
-    val links = e.join(outDeg, "src")
-      .select(col("src"), col("dst"), (col("w") / col("outdeg")).as("share"))
-      .repartition(col("src"))
+    // Pre-divide: contribution factor per edge = w/Σw(src). ONE exchange
+    // builds the whole table: repartition on src, then out-degree as a
+    // window sum over the src partition (WindowExec only sorts within the
+    // already-co-located partition — no second shuffle, unlike the previous
+    // groupBy(outdeg) + join + repartition chain, which exchanged the big
+    // edge table twice and the degree table once). Partitioned on src once;
+    // the big side never moves again across supersteps.
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val links = e.repartition(col("src"))
+      .select(col("src"), col("dst"),
+        (col("w") / sum(col("w")).over(wSrc)).as("share"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     links.count() // materialize once
 
@@ -80,8 +80,13 @@ object PageRank {
     // uniform 1/n, or (personalized) 1/|seeds| on the seed set and 0
     // elsewhere; dangling mass is redistributed by tele, so uniform
     // PageRank is exactly the seeds=None special case.
-    val st0base = vertices.join(outDeg, vertices("vertex") === outDeg("src"), "left")
-      .select(col("vertex"), col("outdeg").isNull.as("dangling"))
+    // Vertex set + dangling flag in ONE partial-aggregated shuffle (dangling
+    // = never appears as src), replacing the previous distinct-union +
+    // left-join-with-degrees pair of exchanges.
+    val st0base = e.select(col("src").as("vertex"), lit(true).as("_has_out"))
+      .unionByName(e.select(col("dst").as("vertex"), lit(false).as("_has_out")))
+      .groupBy(col("vertex")).agg(max(col("_has_out")).as("_has_out"))
+      .select(col("vertex"), (!col("_has_out")).as("dangling"))
     val st0 = seeds match {
       case None => st0base.withColumn("seed", lit(false))
       case Some(sd) =>
