@@ -27,8 +27,14 @@ object LabelPropagation {
   def run(spark: SparkSession, edges: DataFrame, iterations: Int = 10): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .where(col("src") =!= col("dst"))
+    // distinct leaves the table partitioned on (src, dst); re-partition on
+    // src BEFORE checkpointing so the per-superstep ranks-into-neighbors
+    // join reuses this partitioning (localCheckpoint preserves it) and only
+    // the small label table moves each superstep — without this the full
+    // edge table re-exchanged every superstep.
     val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint(true)
 
     val vertices = bi.select(col("src").as("vertex")).distinct()
