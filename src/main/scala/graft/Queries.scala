@@ -272,6 +272,14 @@ object Queries {
     graft.graph.RandomWalks.walks(spark, edges(spark, sfDir), length = 4)
       .orderBy("walk_id", "step")
 
+  /** Full k-core decomposition (h-index fixpoint iteration): core number
+    * per vertex on the undirected t2 graph — subsumes [[qKCore]]'s single-k
+    * membership. Self-terminating and integer-exact — the DuckDB twin
+    * replays the identical h-index update to ITS fixpoint, so there is no
+    * calibrated replay depth to guard. */
+  def qKcoreDecomp(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.KCore.run(spark, edges(spark, sfDir)).orderBy("vertex")
+
   /** Newman modularity of the connected-components partition (SQL-oracled:
     * DuckDB recomputes Q from the same recursive-CTE components). */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame =

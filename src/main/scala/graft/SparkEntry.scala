@@ -58,6 +58,7 @@ object SparkEntry {
     "q_contract"         -> (Queries.qContract _),
     "q_walks"            -> (Queries.qWalks _),
     "q_kcore"            -> (Queries.qKCore _),
+    "q_kcore_decomp"     -> (Queries.qKcoreDecomp _),
     "q_bfs_hops"         -> (Queries.qBfsHops _),
     "q_sssp_weighted"    -> (Queries.qSsspWeighted _),
     "q_hits"             -> (Queries.qHits _),
@@ -616,6 +617,34 @@ object SparkEntry {
          |    FROM kc WHERE iter < 60
          |  ) WHERE ds >= 3 AND dd >= 3)
          |SELECT DISTINCT src AS vertex FROM kc WHERE iter = 60 ORDER BY vertex""".stripMargin,
+
+    // full core-number decomposition: the SAME h-index fixpoint iteration as
+    // graph/KCore.run — integer state, order-independent update, so the
+    // fixpoint is exact on both engines and the recursion self-terminates
+    // (the anych guard emits nothing once no estimate changes; no calibrated
+    // replay depth). Cap 64 mirrors the Spark maxIter.
+    "q_kcore_decomp" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi0 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |bi AS (SELECT DISTINCT src, dst FROM bi0),
+         |kd(iter, v, core) AS (
+         |  SELECT 0, src, count(*) FROM bi GROUP BY src
+         |  UNION ALL
+         |  SELECT iter+1, v, h FROM (
+         |    SELECT n.iter AS iter, n.v AS v, n.h AS h,
+         |           max(CASE WHEN n.h <> kd.core THEN 1 ELSE 0 END)
+         |             OVER (PARTITION BY n.iter) AS anych
+         |    FROM (
+         |      SELECT iter, v, max(least(rn, c)) AS h FROM (
+         |        SELECT kd.iter AS iter, bi.src AS v, kd.core AS c,
+         |               row_number() OVER (PARTITION BY kd.iter, bi.src
+         |                 ORDER BY kd.core DESC, bi.dst ASC) AS rn
+         |        FROM kd JOIN bi ON kd.v = bi.dst WHERE kd.iter < 64
+         |      ) GROUP BY iter, v
+         |    ) n JOIN kd ON kd.iter = n.iter AND kd.v = n.v
+         |  ) WHERE anych = 1)
+         |SELECT v AS vertex, core FROM kd WHERE iter = (SELECT max(iter) FROM kd)
+         |ORDER BY vertex""".stripMargin,
 
     // BFS levels from the min source: (v, dist) pairs enumerate breadth-
     // first with a depth cap of 40 — the SAME cap the Spark side passes as

@@ -51,6 +51,63 @@ class KCoreSpec extends SparkTestBase {
     assert(sparkCore(path, 2) == Set.empty)
   }
 
+  /** Exact sequential core-number oracle: repeatedly peel min-degree. */
+  private def coreNumberOracle(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, mutable.Set.empty) += a
+      }
+    }
+    val core = mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val minDeg = adj.valuesIterator.map(_.size.toLong).min
+      k = math.max(k, minDeg)
+      // peel at this k until stable (removals cascade below k)
+      var peel = adj.collect { case (v, ns) if ns.size <= k => v }.toSeq
+      while (peel.nonEmpty) {
+        peel.foreach { v =>
+          core(v) = k
+          adj(v).foreach(u => adj.get(u).foreach(_ -= v))
+          adj.remove(v)
+        }
+        peel = adj.collect { case (v, ns) if ns.size <= k => v }.toSeq
+      }
+    }
+    core.toMap
+  }
+
+  private def sparkDecomp(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    KCore.run(spark, edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("decomposition: triangle plus tail core numbers") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(sparkDecomp(edges) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("property: decomposition equals sequential peeling core numbers; " +
+    "coreVertices(k) == {v : core(v) >= k}") {
+    val gen = for {
+      n <- Gen.choose(6, 30)
+      m <- Gen.choose(6, 80)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.filter { case (a, b) => a != b }
+    (0 until 3).foreach { i =>
+      val edges = gen.apply(Gen.Parameters.default, Seed(21L + i)).get
+      val got = sparkDecomp(edges)
+      assert(got == coreNumberOracle(edges), s"seed=${21 + i}")
+      // cross-operator consistency with the single-k extraction
+      assert(got.filter(_._2 >= 2L).keySet == sparkCore(edges, 2),
+        s"seed=${21 + i} k=2 membership")
+    }
+  }
+
   test("property: k-core equals sequential peeling oracle on random graphs") {
     val gen = for {
       n <- Gen.choose(6, 30)
