@@ -183,6 +183,34 @@ object Queries {
     graft.graph.VertexSimilarity.edgeJaccard(spark, edges(spark, sfDir))
       .orderBy("a", "b")
 
+  /** Link prediction: resource-allocation index of NON-adjacent pairs over
+    * capped wedges (middle degree ≤ 64, ≥ 2 common neighbors). Pinned-order
+    * term fold → the double is bit-exact vs the DuckDB twin. */
+  def qLinkPredict(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.LinkPrediction.resourceAllocation(spark, edges(spark, sfDir))
+      .orderBy("a", "b")
+
+  /** Local clustering coefficient per vertex (2·tri / deg·(deg−1)) —
+    * integer-exact inputs, single IEEE division, full DuckDB oracle. */
+  def qClusteringCoef(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.TriangleCount.localClusteringCoefficient(spark, edges(spark, sfDir))
+      .orderBy("vertex")
+
+  /** Multi-source BFS from the 4 lowest-id vertices (landmark distances —
+    * the closeness/harmonic-centrality primitive); reachable pairs only.
+    * One traversal, k-wide frontier; depth cap 40 mirrored by the twin. */
+  def qMultiBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir)
+    val srcs = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().orderBy("v").limit(4).collect().map(_.getLong(0)).toSeq
+    if (srcs.isEmpty) { // empty graph: empty result, like the SQL twin
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("source", "vertex", "dist")
+    }
+    graft.graph.ShortestPaths.multiHops(spark, e, srcs, maxIter = 40)
+      .orderBy("source", "vertex")
+  }
+
   /** Personalized PageRank: random walk with restart to a fixed seed set
     * (5 lowest canonical source keys); fixed supersteps, DuckDB-oracled. */
   def qPageRankPersonalized(spark: SparkSession, sfDir: String): DataFrame = {

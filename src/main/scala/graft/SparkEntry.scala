@@ -59,6 +59,9 @@ object SparkEntry {
     "q_walks"            -> (Queries.qWalks _),
     "q_kcore"            -> (Queries.qKCore _),
     "q_kcore_decomp"     -> (Queries.qKcoreDecomp _),
+    "q_link_predict"     -> (Queries.qLinkPredict _),
+    "q_clustering_coef"  -> (Queries.qClusteringCoef _),
+    "q_msbfs"            -> (Queries.qMultiBfs _),
     "q_bfs_hops"         -> (Queries.qBfsHops _),
     "q_sssp_weighted"    -> (Queries.qSsspWeighted _),
     "q_hits"             -> (Queries.qHits _),
@@ -697,6 +700,59 @@ object SparkEntry {
          |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e))
          |SELECT verts.v AS vertex, CAST(coalesce(hits.n, 0) AS BIGINT) AS n_triangles
          |FROM verts LEFT JOIN hits USING (v) ORDER BY vertex""".stripMargin,
+
+    // resource-allocation link prediction: same capped wedge generation and
+    // non-adjacency anti-join as graph/LinkPrediction.scala; the per-pair
+    // term fold is pinned to degree-ascending order on both engines, and
+    // 1/deg is a single IEEE division of integers, so the double is
+    // bit-exact before the cosmetic rounding
+    "q_link_predict" ->
+      s"""WITH $EDGES_T2,
+         |bi0 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |bi AS (SELECT DISTINCT src AS z, dst AS n FROM bi0),
+         |deg AS (SELECT z, count(*) AS d FROM bi GROUP BY z),
+         |mids AS (SELECT bi.z, bi.n, deg.d FROM bi JOIN deg USING (z) WHERE deg.d <= 64),
+         |wedges AS (SELECT x.n AS a, y.n AS b, x.d AS d
+         |           FROM mids x JOIN mids y ON x.z = y.z AND x.n < y.n),
+         |cand AS (SELECT w.a, w.b, w.d FROM wedges w WHERE NOT EXISTS
+         |          (SELECT 1 FROM e WHERE e.src = w.a AND e.dst = w.b))
+         |SELECT a, b, count(*) AS common,
+         |  round(list_reduce(list_prepend(0.0, list(CAST(d AS DOUBLE) ORDER BY d)),
+         |        (p, q) -> p + 1.0/q), 6) AS ra
+         |FROM cand GROUP BY a, b HAVING count(*) >= 2 ORDER BY a, b""".stripMargin,
+
+    // local clustering coefficient: q_tri_per_vertex's wedge SQL + a degree
+    // count; 2.0·tri and deg·(deg−1) are exact integers, one IEEE division
+    "q_clustering_coef" ->
+      s"""WITH $EDGES_T2,
+         |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+         |            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |hits AS (SELECT v, count(*) AS n FROM (
+         |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |  GROUP BY v),
+         |deg AS (SELECT v, count(*) AS degree FROM (
+         |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY v)
+         |SELECT deg.v AS vertex, deg.degree AS degree,
+         |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_triangles,
+         |  round(CASE WHEN deg.degree >= 2
+         |    THEN 2.0 * coalesce(hits.n, 0) / (deg.degree * (deg.degree - 1))
+         |    ELSE 0.0 END, 6) AS lcc
+         |FROM deg LEFT JOIN hits ON deg.v = hits.v ORDER BY vertex""".stripMargin,
+
+    // multi-source BFS from the 4 lowest vertex ids: q_bfs_hops's recursion
+    // with the source id carried in the state; UNION dedups pairs, min()
+    // settles, depth cap 40 aligned with the Spark maxIter
+    "q_msbfs" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |s AS (SELECT v FROM (SELECT DISTINCT src AS v FROM bi) ORDER BY v LIMIT 4),
+         |d(source, v, dist) AS (
+         |  SELECT v, v, 0 FROM s
+         |  UNION
+         |  SELECT d.source, bi.dst, d.dist + 1 FROM d JOIN bi ON d.v = bi.src WHERE d.dist < 40)
+         |SELECT source, v AS vertex, CAST(min(dist) AS BIGINT) AS dist FROM d
+         |GROUP BY source, v ORDER BY source, vertex""".stripMargin,
   ) ++ docOracleSql ++ mediaOracleSql
 
   // ---- documents / embeddings / events oracles -----------------------------

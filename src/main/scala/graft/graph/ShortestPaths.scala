@@ -137,4 +137,43 @@ object ShortestPaths {
     }
     settled
   }
+
+  /** Multi-source BFS: [[hops]] generalized to a source SET in one run —
+    * the state/frontier key is (source, vertex), so k sources cost one
+    * traversal with k-wide frontiers instead of k traversals (the k
+    * expansions share every edge exchange). The landmark-distance primitive
+    * behind closeness/harmonic-centrality estimates on web graphs
+    * (Bavelas-style centrality over a pivot sample).
+    *
+    * @return (source, vertex, dist) for reachable pairs only. */
+  def multiHops(spark: SparkSession, edges: DataFrame, sources: Seq[Long],
+                maxIter: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(sources.nonEmpty)
+    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val bi = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+
+    var settled = sources.map(s => (s, s, 0L)).toDF("source", "vertex", "dist")
+      .transform(graft.core.Superstep.checkpoint(_, eager = true))
+    var frontier = settled
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val cand = frontier.join(bi, frontier("vertex") === bi("src"))
+        .select(frontier("source").as("source"), bi("dst").as("vertex"),
+          (frontier("dist") + lit(1L)).as("dist"))
+        .groupBy("source", "vertex").agg(min(col("dist")).as("dist"))
+      val next = graft.core.Superstep.checkpoint(
+        cand.join(settled.select("source", "vertex"), Seq("source", "vertex"), "left_anti"))
+      if (next.count() == 0L) done = true
+      else {
+        settled = graft.core.Superstep.checkpoint(settled.unionByName(next))
+        frontier = next
+        it += 1
+      }
+    }
+    settled
+  }
 }

@@ -77,4 +77,23 @@ object TriangleCount {
     vertices.join(hits, Seq("vertex"), "left")
       .select(col("vertex"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * 0 for degree < 2 — how close each vertex's neighborhood is to a clique
+    * (web-graph community/spam structure signal). Pure integer inputs → the
+    * single IEEE division is bit-identical across engines; one extra
+    * partial-aggregated degree count over [[perVertex]]'s plan.
+    *
+    * @return (vertex, degree, n_triangles, lcc) — lcc rounded 6 dp. */
+  def localClusteringCoefficient(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
+    val deg = e.select(col("a").as("vertex"))
+      .union(e.select(col("b").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+    perVertex(spark, edges).join(deg, "vertex")
+      .select(col("vertex"), col("degree"), col("n_triangles"),
+        round(when(col("degree") >= 2,
+            lit(2.0) * col("n_triangles") / (col("degree") * (col("degree") - lit(1L))))
+          .otherwise(lit(0.0)), 6).as("lcc"))
+  }
 }
