@@ -211,6 +211,25 @@ object Queries {
       .orderBy("source", "vertex")
   }
 
+  /** Degree assortativity of the t2 graph (Newman r) — one aggregate row,
+    * integer-exact sums, mirrored scalar expression tree in the twin. */
+  def qAssortativity(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.GraphStats.assortativity(spark, edges(spark, sfDir))
+
+  /** Harmonic centrality estimated from the 4 lowest-id landmarks (shared-
+    * frontier multi-BFS; pinned-order 1/dist fold → bit-exact vs twin). */
+  def qHarmonic(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir)
+    val srcs = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct().orderBy("v").limit(4).collect().map(_.getLong(0)).toSeq
+    if (srcs.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Double)].toDF("vertex", "harmonic")
+    }
+    graft.graph.GraphStats.harmonicFromLandmarks(spark, e, srcs, maxIter = 40)
+      .orderBy("vertex")
+  }
+
   /** Personalized PageRank: random walk with restart to a fixed seed set
     * (5 lowest canonical source keys); fixed supersteps, DuckDB-oracled. */
   def qPageRankPersonalized(spark: SparkSession, sfDir: String): DataFrame = {

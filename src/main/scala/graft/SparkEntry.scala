@@ -62,6 +62,8 @@ object SparkEntry {
     "q_link_predict"     -> (Queries.qLinkPredict _),
     "q_clustering_coef"  -> (Queries.qClusteringCoef _),
     "q_msbfs"            -> (Queries.qMultiBfs _),
+    "q_assortativity"    -> (Queries.qAssortativity _),
+    "q_harmonic"         -> (Queries.qHarmonic _),
     "q_bfs_hops"         -> (Queries.qBfsHops _),
     "q_sssp_weighted"    -> (Queries.qSsspWeighted _),
     "q_hits"             -> (Queries.qHits _),
@@ -753,6 +755,38 @@ object SparkEntry {
          |  SELECT d.source, bi.dst, d.dist + 1 FROM d JOIN bi ON d.v = bi.src WHERE d.dist < 40)
          |SELECT source, v AS vertex, CAST(min(dist) AS BIGINT) AS dist FROM d
          |GROUP BY source, v ORDER BY source, vertex""".stripMargin,
+
+    // Newman degree assortativity: sums of integer-valued doubles (exact in
+    // any order) and a scalar tree mirroring graph/GraphStats.scala's
+    // parenthesization exactly → IEEE-bit-identical before rounding
+    "q_assortativity" ->
+      s"""WITH $EDGES_T2,
+         |bi AS (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e),
+         |deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM bi GROUP BY u),
+         |ends AS (SELECT dx.d AS x, dy.d AS y FROM bi
+         |         JOIN deg dx ON bi.u = dx.u JOIN deg dy ON bi.v = dy.u),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS m2, sum(x*y) AS sxy,
+         |             sum(x) AS sx, sum(x*x) AS sxx FROM ends)
+         |SELECT round((sxy / m2 - (sx / m2) * (sx / m2)) /
+         |             (sxx / m2 - (sx / m2) * (sx / m2)), 6) AS assortativity
+         |FROM s""".stripMargin,
+
+    // landmark harmonic centrality: q_msbfs's recursion, then a per-vertex
+    // 1/dist fold pinned to landmark-id order (bit-exact: IEEE divisions of
+    // integers, identical fold sequence on both engines)
+    "q_harmonic" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         |s AS (SELECT v FROM (SELECT DISTINCT src AS v FROM bi) ORDER BY v LIMIT 4),
+         |d(source, v, dist) AS (
+         |  SELECT v, v, 0 FROM s
+         |  UNION
+         |  SELECT d.source, bi.dst, d.dist + 1 FROM d JOIN bi ON d.v = bi.src WHERE d.dist < 40),
+         |dm AS (SELECT source, v, min(dist) AS dist FROM d GROUP BY source, v)
+         |SELECT v AS vertex,
+         |  round(list_reduce(list_prepend(0.0, list(CAST(dist AS DOUBLE) ORDER BY source)),
+         |        (p, q) -> p + 1.0/q), 6) AS harmonic
+         |FROM dm WHERE dist > 0 GROUP BY v ORDER BY vertex""".stripMargin,
   ) ++ docOracleSql ++ mediaOracleSql
 
   // ---- documents / embeddings / events oracles -----------------------------

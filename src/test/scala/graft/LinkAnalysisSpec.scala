@@ -96,6 +96,57 @@ class LinkAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("assortativity: star graph is perfectly disassortative; brute parity on random") {
+    val star = (1L to 5L).map(i => (100L, i))
+    val r = graft.graph.GraphStats.assortativity(spark, star.toDF("src", "dst"))
+      .head().getDouble(0)
+    assert(math.abs(r - (-1.0)) < 1e-9)
+
+    (0 until 3).foreach { i =>
+      val edges = genEdges.apply(Gen.Parameters.default, Seed(61L + i)).get
+      val adj = adjOf(edges)
+      if (adj.nonEmpty) {
+        val deg = adj.map { case (v, ns) => v -> ns.size.toDouble }
+        val ends = adj.toSeq.flatMap { case (u, ns) => ns.toSeq.map(v => (deg(u), deg(v))) }
+        val m2 = ends.size.toDouble
+        val sxy = ends.map { case (x, y) => x * y }.sum
+        val sx = ends.map(_._1).sum
+        val sxx = ends.map { case (x, _) => x * x }.sum
+        val den = sxx / m2 - (sx / m2) * (sx / m2)
+        if (den != 0.0) {
+          val want = (sxy / m2 - (sx / m2) * (sx / m2)) / den
+          val got = graft.graph.GraphStats.assortativity(spark, edges.toDF("src", "dst"))
+            .head().getDouble(0)
+          assert(math.abs(got - want) < 1e-6, s"seed=${61 + i}")
+        }
+      }
+    }
+  }
+
+  test("harmonic centrality from landmarks matches brute BFS fold") {
+    val edges = genEdges.apply(Gen.Parameters.default, Seed(71L)).get
+    val adj = adjOf(edges)
+    val landmarks = adj.keySet.toSeq.sorted.take(4)
+    def bfs(s: Long): Map[Long, Long] = {
+      var dist = Map(s -> 0L); var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj).diff(dist.keySet)
+        val d = dist(frontier.head) + 1
+        dist ++= next.map(_ -> d); frontier = next
+      }
+      dist
+    }
+    val per = landmarks.map(s => s -> bfs(s)).toMap
+    val brute = adj.keySet.toSeq.map { v =>
+      v -> landmarks.flatMap(s => per(s).get(v)).filter(_ > 0).map(1.0 / _).sum
+    }.filter(_._2 > 0).toMap
+    val got = graft.graph.GraphStats.harmonicFromLandmarks(
+        spark, edges.toDF("src", "dst"), landmarks)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (v, h) => assert(math.abs(h - brute(v)) < 1e-6, s"h($v)") }
+  }
+
   test("multi-source BFS equals per-source single BFS") {
     val edges = genEdges.apply(Gen.Parameters.default, Seed(55L)).get
     val adj = adjOf(edges)
