@@ -282,6 +282,18 @@ object Queries {
       round(col("authority"), 6).as("authority")).orderBy("vertex")
   }
 
+  /** SALSA hub/authority distributions after 8 fixed supersteps — the
+    * degree-normalized (TKC-robust) counterpart of q_hits on the same
+    * directed edge table; SQL-oracled via the same matrix-form recursive
+    * replay (sum-order differs only in last-ulp IEEE noise, far inside the
+    * 6-dp rounding margin — the q_hits precedent). */
+  def qSalsa(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Salsa.run(spark, edges(spark, sfDir), iterations = 8)
+      .select(col("vertex"),
+        round(col("salsa_hub"), 6).as("salsa_hub"),
+        round(col("salsa_authority"), 6).as("salsa_authority"))
+      .orderBy("vertex")
+
   /** Louvain communities at clusty's default Leiden resolution (0.7,
     * reference src/leiden.h:19-24); labels are deterministic level-0 vertex
     * ids. Rows-only driver check; exact-recovery and modularity-vs-LPA
@@ -326,6 +338,30 @@ object Queries {
     * calibrated replay depth to guard. */
   def qKcoreDecomp(spark: SparkSession, sfDir: String): DataFrame =
     graft.graph.KCore.run(spark, edges(spark, sfDir)).orderBy("vertex")
+
+  /** 3-truss of the t2 graph (distributed triangle-support peeling to a
+    * fixpoint): the surviving undirected edges with their fixpoint support.
+    * Self-terminating — the DuckDB twin peels to ITS fixpoint too, so no
+    * calibrated replay depth to guard. */
+  def qTruss(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Truss.truss(spark, edges(spark, sfDir), k = 3).orderBy("a", "b")
+
+  /** ANF: per-vertex 3-hop reach estimate from k=16 KMV sketches. The
+    * sketch propagation is exact (k smallest md5-hashes of the exact
+    * 3-hop ball), so the DuckDB twin reproduces it from a bounded
+    * recursive-CTE ball + the same order statistic. */
+  def qAnf(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.NeighborhoodFunction.kmvReach(spark, edges(spark, sfDir),
+      hops = 3, k = 16).orderBy("vertex")
+
+  /** The neighborhood function / hop-plot rollup over the same sketches:
+    * per-hop corpus reach totals + effective-diameter fractions. Per-vertex
+    * estimates are rounded to 6 dp and summed as DECIMAL(38,6), so the
+    * corpus totals are exact and order-independent — summable identically
+    * by the DuckDB twin. */
+  def qReachCurve(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.NeighborhoodFunction.reachCurve(spark, edges(spark, sfDir),
+      maxHops = 3, k = 16).orderBy("hop")
 
   /** Newman modularity of the connected-components partition (SQL-oracled:
     * DuckDB recomputes Q from the same recursive-CTE components). */

@@ -24,6 +24,13 @@ object QueriesDoc {
       TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** Top-3 salient terms per document: TF-IDF with a linear idf — see
+    * [[TextOps.topTerms]] for why the log is replaced cross-engine. */
+  def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextOps.topTerms(docs, docs.count(), k = 3).orderBy("doc_id", "rank")
+  }
+
   def qTextQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

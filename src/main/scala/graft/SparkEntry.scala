@@ -63,10 +63,14 @@ object SparkEntry {
     "q_clustering_coef"  -> (Queries.qClusteringCoef _),
     "q_msbfs"            -> (Queries.qMultiBfs _),
     "q_assortativity"    -> (Queries.qAssortativity _),
+    "q_truss"            -> (Queries.qTruss _),
+    "q_anf"              -> (Queries.qAnf _),
+    "q_reach_curve"      -> (Queries.qReachCurve _),
     "q_harmonic"         -> (Queries.qHarmonic _),
     "q_bfs_hops"         -> (Queries.qBfsHops _),
     "q_sssp_weighted"    -> (Queries.qSsspWeighted _),
     "q_hits"             -> (Queries.qHits _),
+    "q_salsa"            -> (Queries.qSalsa _),
     "q_ppr"              -> (Queries.qPageRankPersonalized _),
     "q_vertex_jaccard"   -> (Queries.qVertexJaccard _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
@@ -85,6 +89,7 @@ object SparkEntry {
     "q_media_decode"     -> (Queries.qMediaDecode _),
     // documents / text
     "q_token_stats"      -> (QueriesDoc.qTokenStats _),
+    "q_tfidf"            -> (QueriesDoc.qTfidf _),
     "q_corpus_stats"     -> (QueriesDoc.qCorpusStats _),
     "q_text_quality"     -> (QueriesDoc.qTextQuality _),
     "q_langid"           -> (QueriesDoc.qLangId _),
@@ -588,6 +593,45 @@ object SparkEntry {
          |FROM verts LEFT JOIN hlast ON verts.v = hlast.v LEFT JOIN araw ON verts.v = araw.v
          |ORDER BY vertex""".stripMargin,
 
+    // SALSA: replay the two degree-normalized chains for the same 8 fixed
+    // supersteps from the uniform distribution over each side's support.
+    // The recursive steps nest the SAME two-stage shape the engine runs
+    // (per-hub partial sum outdeg-normalized, then per-authority sum) so
+    // only IEEE summation order differs — last-ulp noise under the 6-dp
+    // rounding, the q_hits precedent.
+    "q_salsa" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |outd AS (SELECT src AS h, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY 1),
+         |ind AS (SELECT dst AS a, CAST(count(*) AS DOUBLE) AS id FROM e GROUP BY 1),
+         |verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+         |sa(iter, v, s) AS (
+         |  SELECT 0, a, 1.0 / (SELECT count(*) FROM ind) FROM ind
+         |  UNION ALL
+         |  SELECT iter+1, a2, s2 FROM (
+         |    SELECT hh.iter, e2.dst AS a2, sum(hh.hc) AS s2 FROM (
+         |      SELECT sa.iter AS iter, e1.src AS h, sum(sa.s / ind.id) / outd.od AS hc
+         |      FROM sa JOIN ind ON sa.v = ind.a JOIN e e1 ON e1.dst = sa.v
+         |           JOIN outd ON outd.h = e1.src
+         |      WHERE sa.iter < 8 GROUP BY sa.iter, e1.src, outd.od
+         |    ) hh JOIN e e2 ON e2.src = hh.h GROUP BY hh.iter, e2.dst)),
+         |sh(iter, v, s) AS (
+         |  SELECT 0, h, 1.0 / (SELECT count(*) FROM outd) FROM outd
+         |  UNION ALL
+         |  SELECT iter+1, h2, s2 FROM (
+         |    SELECT aa.iter, e2.src AS h2, sum(aa.ac) AS s2 FROM (
+         |      SELECT sh.iter AS iter, e1.dst AS a, sum(sh.s / outd.od) / ind.id AS ac
+         |      FROM sh JOIN outd ON sh.v = outd.h JOIN e e1 ON e1.src = sh.v
+         |           JOIN ind ON ind.a = e1.dst
+         |      WHERE sh.iter < 8 GROUP BY sh.iter, e1.dst, ind.id
+         |    ) aa JOIN e e2 ON e2.dst = aa.a GROUP BY aa.iter, e2.src)),
+         |hf AS (SELECT v, s FROM sh WHERE iter = 8),
+         |af AS (SELECT v, s FROM sa WHERE iter = 8)
+         |SELECT verts.v AS vertex,
+         |  round(coalesce(hf.s, 0.0), 6) AS salsa_hub,
+         |  round(coalesce(af.s, 0.0), 6) AS salsa_authority
+         |FROM verts LEFT JOIN hf ON verts.v = hf.v LEFT JOIN af ON verts.v = af.v
+         |ORDER BY vertex""".stripMargin,
+
     // synchronous LPA, 10 supersteps, argmax (count desc, label asc); extra
     // rounds past a fixpoint are no-ops, matching the Spark early-stop
     "q_lpa" ->
@@ -787,6 +831,93 @@ object SparkEntry {
          |  round(list_reduce(list_prepend(0.0, list(CAST(dist AS DOUBLE) ORDER BY source)),
          |        (p, q) -> p + 1.0/q), 6) AS harmonic
          |FROM dm WHERE dist > 0 GROUP BY v ORDER BY vertex""".stripMargin,
+    // 3-truss: the same triangle-support peeling replayed to its fixpoint —
+    // drop edges with < 1 wedge-closing common neighbor, recurse only while
+    // something dropped (anydrop window), then recompute support over the
+    // final edge set (inner wedge join is lossless: every surviving edge
+    // has support >= 1 by the truss condition)
+    "q_truss" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |ed(iter, a, b) AS (
+         |  SELECT 0, src, dst FROM e
+         |  UNION ALL
+         |  SELECT iter+1, a, b FROM (
+         |    SELECT s.iter, s.a, s.b, s.sup,
+         |           max(CASE WHEN s.sup < 1 THEN 1 ELSE 0 END) OVER (PARTITION BY s.iter) AS anydrop
+         |    FROM (
+         |      SELECT e0.iter, e0.a, e0.b, count(t.v) AS sup
+         |      FROM ed e0 LEFT JOIN (
+         |        SELECT na.iter AS iter, na.u AS a2, nb.u AS b2, na.v AS v
+         |        FROM (SELECT iter, a AS u, b AS v FROM ed UNION ALL SELECT iter, b, a FROM ed) na
+         |        JOIN (SELECT iter, a AS u, b AS v FROM ed UNION ALL SELECT iter, b, a FROM ed) nb
+         |          ON na.iter = nb.iter AND na.v = nb.v AND na.u < nb.u
+         |      ) t ON t.iter = e0.iter AND t.a2 = e0.a AND t.b2 = e0.b
+         |      WHERE e0.iter < 64
+         |      GROUP BY e0.iter, e0.a, e0.b
+         |    ) s
+         |  ) WHERE anydrop = 1 AND sup >= 1),
+         |fin AS (SELECT a, b FROM ed WHERE iter = (SELECT max(iter) FROM ed)),
+         |n2 AS (SELECT a AS u, b AS v FROM fin UNION ALL SELECT b, a FROM fin)
+         |SELECT f.a AS a, f.b AS b, CAST(count(*) AS BIGINT) AS support
+         |FROM fin f JOIN n2 na ON na.u = f.a JOIN n2 nb ON nb.u = f.b AND nb.v = na.v
+         |GROUP BY f.a, f.b ORDER BY a, b""".stripMargin,
+
+    // ANF / KMV reach: the exact 3-hop ball via bounded recursion, then the
+    // SAME k=16 smallest 60-bit md5 hashes the Spark sketch keeps — the
+    // sketch of a set is a pure function of the set, so both engines land on
+    // the identical order statistic; estimator expression shape mirrored
+    // ((k-1)*2^60 is one exact double product, then ONE IEEE division)
+    "q_anf" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |verts AS (SELECT DISTINCT src AS v FROM bi),
+         |ball(s, v, d) AS (
+         |  SELECT v, v, 0 FROM verts
+         |  UNION
+         |  SELECT b.s, bi.dst, b.d + 1 FROM ball b JOIN bi ON b.v = bi.src WHERE b.d < 3),
+         |reach AS (SELECT DISTINCT s, v FROM ball),
+         |h AS (SELECT s, ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS hv FROM reach),
+         |rk AS (SELECT s, hv, row_number() OVER (PARTITION BY s ORDER BY hv) AS r,
+         |       count(*) OVER (PARTITION BY s) AS n FROM h)
+         |SELECT s AS vertex, CAST(least(n, 16) AS BIGINT) AS sketch_n,
+         |  round(CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+         |        ELSE 15.0 * 1152921504606846976.0 / hv END, 6) AS est_reach
+         |FROM rk WHERE r = CASE WHEN n >= 16 THEN 16 ELSE n END
+         |ORDER BY vertex""".stripMargin,
+
+    // neighborhood function N(h): same exact balls/sketches as q_anf, per
+    // hop 1..3, rolled up the order-independent way — each per-vertex 6-dp
+    // estimate is cast to DECIMAL(38,6) BEFORE summing (IEEE double sums
+    // are order-dependent; exact decimal sums are not), then the exact
+    // total is cast back (≤ 2^53·10⁻⁶, lossless) for the avg/frac single
+    // IEEE divisions. sum(int CASE) is HUGEINT in DuckDB — cast to BIGINT.
+    "q_reach_curve" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |verts AS (SELECT DISTINCT src AS v FROM bi),
+         |ball(s, v, d) AS (
+         |  SELECT v, v, 0 FROM verts
+         |  UNION
+         |  SELECT b.s, bi.dst, b.d + 1 FROM ball b JOIN bi ON b.v = bi.src WHERE b.d < 3),
+         |md AS (SELECT s, v, min(d) AS d FROM ball GROUP BY s, v),
+         |hb AS (SELECT t.hop, m.s,
+         |       ('0x' || substr(md5(CAST(m.v AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |       FROM md m JOIN range(1, 4) t(hop) ON m.d <= t.hop),
+         |rk AS (SELECT hop, s, hv, row_number() OVER (PARTITION BY hop, s ORDER BY hv) AS r,
+         |       count(*) OVER (PARTITION BY hop, s) AS n FROM hb),
+         |est AS (SELECT hop, s, n,
+         |        round(CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+         |              ELSE 15.0 * 1152921504606846976.0 / hv END, 6) AS est
+         |        FROM rk WHERE r = CASE WHEN n >= 16 THEN 16 ELSE n END),
+         |agg AS (SELECT hop, CAST(count(*) AS BIGINT) AS n_vertices,
+         |        CAST(sum(CASE WHEN n >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+         |        sum(CAST(est AS DECIMAL(38,6))) AS total FROM est GROUP BY hop),
+         |mx AS (SELECT CAST(total AS DOUBLE) AS tmax FROM agg WHERE hop = 3)
+         |SELECT CAST(hop AS BIGINT) AS hop, n_vertices, n_saturated,
+         |  round(CAST(total AS DOUBLE), 6) AS total_reach,
+         |  round(CAST(total AS DOUBLE) / n_vertices, 6) AS avg_reach,
+         |  round(CAST(total AS DOUBLE) / mx.tmax, 6) AS frac_of_max
+         |FROM agg CROSS JOIN mx ORDER BY hop""".stripMargin,
   ) ++ docOracleSql ++ mediaOracleSql
 
   // ---- documents / embeddings / events oracles -----------------------------
@@ -995,6 +1126,26 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc,
         |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // linear-idf TF-IDF: tf·N is an exact integer-valued double product and
+    // /df ONE IEEE division (no libm log whose last ulp differs between
+    // engines), so scores — and the (score DESC, term ASC) ranking — are
+    // bit-identical; expression shape (tf·N)/df mirrored from TextOps
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+        |       GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |rk AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |         CAST(tf.tf AS DOUBLE) * n.n / dfreq.df AS score,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY CAST(tf.tf AS DOUBLE) * n.n / dfreq.df DESC, tf.term ASC) AS r
+        |       FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(r AS BIGINT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+        |  round(score, 6) AS score
+        |FROM rk WHERE r <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_corpus_stats" ->
       s"""SELECT lang,

@@ -1,0 +1,144 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate neighborhood function (ANF): per-vertex estimates of
+  * |ball(v, h)| — how many vertices are within h hops — via k-minimum-values
+  * (KMV) cardinality sketches propagated along edges (Palmer/Gibbons/
+  * Faloutsos ANF, KDD'02; Kang et al. HADI, SDM'09 use FM bitmaps — KMV is
+  * the order-statistics twin with the same superstep shape). The
+  * neighborhood function is the standard way to estimate reach and
+  * effective diameter on graphs where exact all-pairs BFS (Θ(V·E)) is
+  * impossible — e.g. a 10^12-page web crawl.
+  *
+  * Sketch: the k smallest 60-bit hashes among the ball's vertex hashes.
+  * Because "k smallest of a union" = "k smallest of the union of the
+  * per-part k-smallest", the merge is associative and bounded: per-vertex
+  * state is ≤ k longs forever, and superstep t's sketch is EXACTLY the KMV
+  * sketch of the exact t-hop ball — not an approximation of one. All
+  * approximation error lives in the final (k−1)/R_k estimate, none in the
+  * propagation, so the whole run is deterministic and cross-engine
+  * replayable: a SQL oracle that computes the exact h-hop ball and takes
+  * the same k smallest md5-hashes lands on the identical sketch.
+  *
+  * The hash is the portable 60-bit md5 prefix (`conv(substr(md5(v),1,15))`),
+  * the same cross-engine trick the text fingerprints use — xxhash64 would
+  * be cheaper but is Spark-private.
+  *
+  * Scale shape per superstep: one join of state against the symmetrized
+  * edge table (messages Θ(E·k) longs) + one hash aggregate whose
+  * `collect_list` partial-aggregates map-side; the flatten/sort/slice merge
+  * runs once per group. No windows, no per-vertex collect to the driver;
+  * loop-carried state goes through Superstep.checkpointReleasable so step
+  * t−1's blocks are freed as soon as step t materializes.
+  */
+object NeighborhoodFunction {
+
+  private val HashBits = 60
+  private val HashScale: Double = math.pow(2.0, HashBits) // exactly 2^60
+
+  /** 60-bit portable vertex hash: first 15 hex chars of md5 of the decimal
+    * id — positive, fits a Long, identical in any engine with md5. */
+  private def vhash(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** KMV estimator: hashes uniform in [0, 2^60) ⇒ E[kth smallest / 2^60]
+    * = k/(n+1), so n̂ = (k−1)·2^60 / kth. While the ball fits the sketch
+    * the count is exact. (k−1)·2^60 is a single exactly-representable
+    * double product, then ONE IEEE division — mirror this expression
+    * shape in any cross-engine twin. */
+  private def estCol(k: Int) = {
+    val n = size(col("sk"))
+    when(n < k, n.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashScale) / element_at(col("sk"), k))
+  }
+
+  /** Runs the KMV sketch supersteps, invoking `onHop(hop, state)` after each
+    * propagation round while the hop's state is checkpointed and live.
+    * Returns the final state (caller must not use it past another release). */
+  private def sketchLoop(edges: DataFrame, hops: Int, k: Int)
+                        (onHop: (Int, DataFrame) => Unit): DataFrame = {
+    require(hops >= 1 && k >= 2, s"need hops >= 1 and k >= 2, got hops=$hops k=$k")
+    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val bi = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+
+    var (state, release) = graft.core.Superstep.checkpointReleasable(
+      bi.select(col("src").as("v")).distinct()
+        .select(col("v"), array(vhash(col("v"))).as("sk")),
+      eager = true)
+
+    for (hop <- 1 to hops) {
+      val msgs = state.join(bi, state("v") === bi("src"))
+        .select(bi("dst").as("v"), col("sk"))
+      val merged = state.unionByName(msgs)
+        .groupBy("v")
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk"))
+      val (next, rel) = graft.core.Superstep.checkpointReleasable(merged, eager = true)
+      release(); state = next; release = rel
+      onHop(hop, state)
+    }
+    state
+  }
+
+  /** Per-vertex h-hop reach estimates.
+    *
+    * @param edges (src, dst) in any orientation; self-loops ignored.
+    * @param hops  ball radius h (fixed supersteps — no early exit, so a
+    *              bounded-depth SQL replay stays aligned).
+    * @param k     sketch size (KMV order statistic; relative error ~1/√(k−2)).
+    * @return (vertex, sketch_n, est_reach): sketch_n = min(|ball|, k);
+    *         est_reach = exact |ball| while the sketch is not full, else
+    *         (k−1)·2^60 / kth-smallest-hash, rounded 6 dp. */
+  def kmvReach(spark: SparkSession, edges: DataFrame, hops: Int, k: Int): DataFrame = {
+    val state = sketchLoop(edges, hops, k)((_, _) => ())
+    state.select(
+      col("v").as("vertex"),
+      size(col("sk")).cast("long").as("sketch_n"),
+      round(estCol(k), 6).as("est_reach"))
+  }
+
+  /** The neighborhood function N(h) itself — the corpus-level reach curve
+    * ANF exists to produce (Palmer et al. §1: effective diameter, hop plot).
+    * One row per hop h = 1..maxHops:
+    * `(hop, n_vertices, n_saturated, total_reach, avg_reach, frac_of_max)`
+    * where total_reach = Σ_v round(est_v, 6) and frac_of_max =
+    * total(h)/total(maxHops); the smallest h with frac_of_max ≥ 0.9 is the
+    * standard effective-diameter readout.
+    *
+    * Determinism across engines: summing IEEE doubles is order-dependent, so
+    * each per-vertex estimate is rounded to 6 dp and cast to DECIMAL(38,6)
+    * BEFORE the sum — the sum is then exact integer-scaled arithmetic,
+    * independent of partitioning, and any engine that sums the same 6-dp
+    * decimals lands on the identical total. The sums are ≤ ~2^53·10⁻⁶ here,
+    * so the final cast back to double is exact; avg/frac are then single
+    * IEEE divisions of exact doubles.
+    *
+    * The per-hop rollup is a 1-row aggregate collected eagerly while that
+    * hop's checkpointed state is live (control-plane, same class as the
+    * superstep `count()`s — releasing hop h's blocks must not force a
+    * recompute of a lazily-held aggregate). */
+  def reachCurve(spark: SparkSession, edges: DataFrame, maxHops: Int, k: Int): DataFrame = {
+    val perHop = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, java.math.BigDecimal)]
+    sketchLoop(edges, maxHops, k) { (hop, state) =>
+      val r = state.agg(
+        count(lit(1)).as("nv"),
+        sum(when(size(col("sk")) >= k, 1L).otherwise(0L)).as("nsat"),
+        sum(round(estCol(k), 6).cast("decimal(38,6)")).as("total")).head()
+      perHop += ((hop, r.getLong(0), r.getLong(1), r.getDecimal(2)))
+    }
+    val totalMax = perHop.last._4.doubleValue // exact: ≤ 2^53 at scale 10⁶
+    // HALF_UP, the same tie rule as Spark's round() and DuckDB's round()
+    // on positive doubles (rint would be half-EVEN — wrong twin).
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = perHop.toSeq.map { case (hop, nv, nsat, totalDec) =>
+      val total = totalDec.doubleValue
+      (hop.toLong, nv, nsat, r6(total), r6(total / nv), r6(total / totalMax))
+    }
+    import spark.implicits._
+    rows.toDF("hop", "n_vertices", "n_saturated", "total_reach", "avg_reach", "frac_of_max")
+  }
+}

@@ -164,6 +164,42 @@ object TextOps {
   def rollingFingerprintPortable(text: Column): Column =
     aggregate(tokens(text), lit("graft"), (acc, t) => md5(concat(acc, lit("|"), t)))
 
+  /** Per-document top-k salient terms by TF-IDF with a LINEAR idf:
+    * score = tf · (N / df). The conventional log-idf is deliberately
+    * replaced by the raw inverse document frequency — log() is a libm call
+    * whose last-ulp rounding differs across engines, while tf·N is an exact
+    * integer-valued double product followed by ONE IEEE division, so the
+    * score (and therefore the ranking, tie-broken by term asc) is
+    * bit-identical in any engine. Linear idf induces the same within-
+    * document order as log-idf whenever tf values are equal, and the same
+    * "rare term wins" behavior overall — it is a keyword extractor, not a
+    * retrieval weighting.
+    *
+    * Scale shape: explode is narrow; tf aggregates on (doc, term) and df on
+    * term, both map-side partial-combined; the df side of the join is
+    * vocabulary-sized (broadcastable); the top-k window partitions by
+    * doc_id — millions of small partitions, never a global sort.
+    *
+    * @param totalDocs corpus size N (control-plane scalar — pass
+    *                  `docs.count()` or a known table size).
+    * @return (doc_id, rank, term, tf, score) — rank 1..k, score rounded 6. */
+  def topTerms(docs: DataFrame, totalDocs: Long, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // mirror this shape in any cross-engine twin: (tf · N) first, then / df
+    val scored = tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("double") * lit(totalDocs.toDouble) / col("df")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        round(col("score"), 6).as("score"))
+  }
+
   // ---- DataFrame-level conveniences ---------------------------------------
 
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
