@@ -363,6 +363,32 @@ object Queries {
     graft.graph.NeighborhoodFunction.reachCurve(spark, edges(spark, sfDir),
       maxHops = 3, k = 16).orderBy("hop")
 
+  /** Per-component bipartiteness: BFS-parity 2-coloring from each
+    * component's min-vertex root (the CC label), with odd-cycle witness
+    * counts. Deterministic — the coloring is a pure function of the rooted
+    * BFS distances, replayed by the oracle's recursive CTE. */
+  def qBipartite(spark: SparkSession, sfDir: String): DataFrame =
+    graft.graph.Bipartite.check(spark, edges(spark, sfDir)).orderBy("component")
+
+  /** Log₂-binned degree distribution — the power-law readout every
+    * web-graph study starts with. Bucketing is INTEGER-exact on both
+    * engines (binary digit count here, float-log with an exact integer
+    * shift-correction in the oracle), never a bare floor(log2(double))
+    * whose last-ulp can flip at exact powers of two. */
+  def qDegreeDist(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir)
+    val deg = e.select(col("src").as("vertex"))
+      .unionAll(e.select(col("dst").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+    deg.select((length(conv(col("degree"), 10, 2)) - 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vertices"))
+      .select(col("bucket"),
+        expr("shiftleft(1L, cast(bucket as int))").as("lo"),
+        expr("shiftleft(1L, cast(bucket + 1 as int)) - 1L").as("hi"),
+        col("n_vertices"))
+      .orderBy("bucket")
+  }
+
   /** Newman modularity of the connected-components partition (SQL-oracled:
     * DuckDB recomputes Q from the same recursive-CTE components). */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame =

@@ -71,6 +71,8 @@ object SparkEntry {
     "q_sssp_weighted"    -> (Queries.qSsspWeighted _),
     "q_hits"             -> (Queries.qHits _),
     "q_salsa"            -> (Queries.qSalsa _),
+    "q_bipartite"        -> (Queries.qBipartite _),
+    "q_degree_dist"      -> (Queries.qDegreeDist _),
     "q_ppr"              -> (Queries.qPageRankPersonalized _),
     "q_vertex_jaccard"   -> (Queries.qVertexJaccard _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
@@ -354,6 +356,52 @@ object SparkEntry {
 
     "q_cc" ->
       s"WITH $CC SELECT v AS vertex, component FROM reach ORDER BY vertex",
+
+    // log2-binned degree histogram. floor(log2(x)) on a double can flip at
+    // exact powers of two, so the float bucket gets an exact integer
+    // shift-correction (compare 1<<b against the integer degree) — the twin
+    // of the engine's binary-digit-count bucketing, exact by construction
+    "q_degree_dist" ->
+      s"""WITH $EDGES_T2,
+         |deg AS (SELECT v, count(*) AS degree FROM
+         |        (SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY v),
+         |b0 AS (SELECT degree, CAST(floor(log2(CAST(degree AS DOUBLE))) AS BIGINT) AS g FROM deg),
+         |b AS (SELECT CASE WHEN (1::BIGINT << g) > degree THEN g - 1
+         |              WHEN (1::BIGINT << (g + 1)) <= degree THEN g + 1
+         |              ELSE g END AS bucket FROM b0)
+         |SELECT bucket, (1::BIGINT << bucket) AS lo,
+         |  (1::BIGINT << (bucket + 1)) - 1 AS hi,
+         |  CAST(count(*) AS BIGINT) AS n_vertices
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // BFS-parity 2-coloring from each component's min-vertex root (= its CC
+    // label): bipartite iff no edge is monochromatic. Distances are exact
+    // integers, so the replay is bit-free of float concerns; 64 caps both
+    // engines identically (graph diameter << 64 — q_bfs_hops precedent)
+    "q_bipartite" ->
+      s"""WITH RECURSIVE $CC,
+         |d(v, dist) AS (
+         |  SELECT v, 0 FROM reach WHERE v = component
+         |  UNION
+         |  SELECT bi.dst, d.dist + 1 FROM d JOIN bi ON d.v = bi.src WHERE d.dist < 64),
+         |par AS (SELECT v, min(dist) % 2 AS p FROM d GROUP BY v),
+         |conf AS (SELECT e.src AS a FROM e
+         |         JOIN par pa ON pa.v = e.src JOIN par pb ON pb.v = e.dst
+         |         WHERE pa.p = pb.p),
+         |nv AS (SELECT component, CAST(count(*) AS BIGINT) AS n_vertices
+         |       FROM reach GROUP BY component),
+         |ne AS (SELECT r2.component, CAST(count(*) AS BIGINT) AS n_edges
+         |       FROM e JOIN reach r2 ON r2.v = e.src GROUP BY r2.component),
+         |nc AS (SELECT r2.component, CAST(count(*) AS BIGINT) AS n_conflict_edges
+         |       FROM conf JOIN reach r2 ON r2.v = conf.a GROUP BY r2.component)
+         |SELECT nv.component AS component, nv.n_vertices,
+         |  CAST(coalesce(ne.n_edges, 0) AS BIGINT) AS n_edges,
+         |  CAST(coalesce(nc.n_conflict_edges, 0) AS BIGINT) AS n_conflict_edges,
+         |  CAST(CASE WHEN coalesce(nc.n_conflict_edges, 0) = 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_bipartite
+         |FROM nv LEFT JOIN ne ON ne.component = nv.component
+         |        LEFT JOIN nc ON nc.component = nv.component
+         |ORDER BY nv.component""".stripMargin,
 
     // every hop of the deterministic walk replayed: same md5-derived
     // neighbor index u(walk,k) mod degree over the same ranked adjacency
