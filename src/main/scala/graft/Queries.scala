@@ -389,6 +389,21 @@ object Queries {
       .orderBy("bucket")
   }
 
+  /** Strongly connected components of the md5-parity-ORIENTED edge table
+    * (the canonical src<dst table is a DAG — every SCC a singleton — so the
+    * catalog orients each edge by a deterministic cross-engine md5 coin to
+    * create genuine directed cycles). Oracle is SEMANTIC ground truth, not
+    * a replay: DuckDB computes the mutual transitive closure directly. */
+  def qScc(spark: SparkSession, sfDir: String): DataFrame = {
+    val par = conv(substring(md5(concat_ws("|", col("src"), col("dst"))), 1, 15), 16, 10)
+      .cast("long") % 2
+    val oriented = edges(spark, sfDir).select(
+      when(par === 0, col("src")).otherwise(col("dst")).as("o_src"),
+      when(par === 0, col("dst")).otherwise(col("src")).as("o_dst"))
+      .select(col("o_src").as("src"), col("o_dst").as("dst"))
+    graft.graph.StronglyConnectedComponents.run(spark, oriented).orderBy("vertex")
+  }
+
   /** Newman modularity of the connected-components partition (SQL-oracled:
     * DuckDB recomputes Q from the same recursive-CTE components). */
   def qModularity(spark: SparkSession, sfDir: String): DataFrame =

@@ -73,6 +73,7 @@ object SparkEntry {
     "q_salsa"            -> (Queries.qSalsa _),
     "q_bipartite"        -> (Queries.qBipartite _),
     "q_degree_dist"      -> (Queries.qDegreeDist _),
+    "q_scc"              -> (Queries.qScc _),
     "q_ppr"              -> (Queries.qPageRankPersonalized _),
     "q_vertex_jaccard"   -> (Queries.qVertexJaccard _),
     "q_lpa"              -> (Queries.qLabelPropagation _),
@@ -356,6 +357,25 @@ object SparkEntry {
 
     "q_cc" ->
       s"WITH $CC SELECT v AS vertex, component FROM reach ORDER BY vertex",
+
+    // SCC ground truth (not a replay): orient each edge by the same md5
+    // coin, build the full transitive closure, and label every vertex by
+    // the minimum vertex it MUTUALLY reaches — the definition itself. The
+    // engine's iterated F/B-min-label peeling must land on exactly this.
+    "q_scc" ->
+      s"""WITH RECURSIVE $EDGES_T2,
+         |o AS (SELECT CASE WHEN par = 0 THEN src ELSE dst END AS src,
+         |             CASE WHEN par = 0 THEN dst ELSE src END AS dst
+         |      FROM (SELECT src, dst,
+         |            (('0x'||substr(md5(CAST(src AS VARCHAR)||'|'||CAST(dst AS VARCHAR)),1,15))::BIGINT) % 2 AS par
+         |            FROM e)),
+         |fw(s, v) AS (
+         |  SELECT v, v FROM (SELECT src AS v FROM o UNION SELECT dst FROM o)
+         |  UNION
+         |  SELECT fw.s, o.dst FROM fw JOIN o ON fw.v = o.src)
+         |SELECT a.s AS vertex, min(a.v) AS scc
+         |FROM fw a JOIN fw b ON a.s = b.v AND a.v = b.s
+         |GROUP BY a.s ORDER BY vertex""".stripMargin,
 
     // log2-binned degree histogram. floor(log2(x)) on a double can flip at
     // exact powers of two, so the float bucket gets an exact integer

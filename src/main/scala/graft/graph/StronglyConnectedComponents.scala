@@ -1,0 +1,116 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components of a DIRECTED edge table — the web-graph
+  * bowtie decomposition (Broder et al. 2000): the giant SCC vs the IN/OUT
+  * tendrils is the first structural question asked of any crawl graph, and
+  * none of the undirected operators (CC, k-core, truss) can answer it.
+  *
+  * Algorithm: iterated min-label forward/backward intersection — the
+  * DataFrame-native cousin of FW-BW (Fleischer/Hendrickson/Pinar 2000) and
+  * of ConnectedComponents' min-label hashing:
+  *
+  *   F(v) = min{u : u →* v}   (min label that reaches v, along edges)
+  *   B(v) = min{u : v →* u}   (min label v reaches, against edges)
+  *
+  * Every member of one SCC has identical F and identical B (mutual
+  * reachability ⇒ identical reachability sets), and F(v) = B(v) = r holds
+  * iff r reaches v AND v reaches r — i.e. v ∈ SCC(r), and r is that SCC's
+  * minimum member. Each outer round therefore resolves every SCC whose
+  * min-ancestor equals its min-descendant (always at least the SCC of the
+  * globally smallest remaining vertex), peels the resolved vertices off,
+  * and repeats on the residual subgraph. With ids uncorrelated with
+  * topology the expected outer depth is logarithmic; a pathological
+  * monotone chain degrades to linear, so the round cap THROWS rather than
+  * returning a silently partial answer (the Truss discipline).
+  *
+  * Scale shape: each fixpoint superstep is one equi-join of the label
+  * state against the once-persisted edge table + a map-side-combined min
+  * aggregate — Θ(E) messages, no windows, no collects; convergence is
+  * detected by the monotone sum(label) aggregate (labels only decrease),
+  * one scalar read per superstep, the CC discipline. Loop state flows
+  * through Superstep.checkpointReleasable so superstep t−1's blocks free
+  * as soon as t lands.
+  */
+object StronglyConnectedComponents {
+
+  /** @param edges (src, dst) directed; self-loops ignored (a self-loop
+    *              never changes strong connectivity).
+    * @return (vertex, scc) — scc = the minimum vertex id of v's SCC. */
+  def run(spark: SparkSession, edges: DataFrame,
+          maxOuter: Int = 64, maxInner: Int = 256): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+
+    // vertex set from the RAW edges: a vertex incident only to self-loops
+    // is still its own (singleton) SCC and must appear in the output
+    val eAll = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    var (e, relE) = graft.core.Superstep.checkpointReleasable(e0, eager = true)
+    var (verts, relV) = graft.core.Superstep.checkpointReleasable(
+      eAll.select(col("src").as("vertex")).union(eAll.select(col("dst").as("vertex"))).distinct(),
+      eager = true)
+    var nLeft = verts.count()
+
+    var result = spark.range(0).select(col("id").as("vertex"), col("id").as("scc"))
+    var relResult: () => Unit = () => ()
+    var outer = 0
+    while (nLeft > 0L) {
+      if (outer >= maxOuter)
+        throw new IllegalStateException(
+          s"SCC did not resolve in $maxOuter outer rounds ($nLeft vertices left) — " +
+            "pathological monotone-chain topology; raise maxOuter")
+
+      val (fwd, relFwd) = minLabelFixpoint(verts, e, maxInner) // (vertex, lbl=F)
+      val (bwd, relBwd) = minLabelFixpoint(verts,
+        e.select(col("dst").as("src"), col("src").as("dst")), maxInner) // (vertex, lbl=B)
+      val resolved = fwd.join(bwd.withColumnRenamed("lbl", "b"), "vertex")
+        .where(col("lbl") === col("b"))
+        .select(col("vertex"), col("lbl").as("scc"))
+      val (res, relRes) = graft.core.Superstep.checkpointReleasable(
+        result.unionByName(resolved), eager = true)
+      val (vNext, relVN) = graft.core.Superstep.checkpointReleasable(
+        verts.join(resolved.select("vertex"), Seq("vertex"), "left_anti"), eager = true)
+      val (eNext, relEN) = graft.core.Superstep.checkpointReleasable(
+        e.join(vNext.select(col("vertex").as("src")), Seq("src"), "left_semi")
+          .join(vNext.select(col("vertex").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst"),
+        eager = true)
+      relE(); relV(); relResult(); relFwd(); relBwd()
+      result = res; relResult = relRes
+      e = eNext; relE = relEN
+      verts = vNext; relV = relVN
+      nLeft = verts.count()
+      outer += 1
+    }
+    relE(); relV()
+    result // final checkpoint stays live for the caller
+  }
+
+  /** Min-label propagation to fixpoint: lbl(v) = min over {v} ∪ in-edges'
+    * labels, iterated until the monotone sum(lbl) stops decreasing (labels
+    * only shrink, so one scalar per superstep detects the fixpoint).
+    * Returns the state plus its checkpoint-release handle. */
+  private def minLabelFixpoint(verts: DataFrame, e: DataFrame,
+                               maxInner: Int): (DataFrame, () => Unit) = {
+    var (state, release) = graft.core.Superstep.checkpointReleasable(
+      verts.select(col("vertex"), col("vertex").as("lbl")), eager = true)
+    var prevSum = state.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var it = 0
+    while (it < maxInner) {
+      val msgs = e.join(state, e("src") === state("vertex"))
+        .select(e("dst").as("vertex"), col("lbl"))
+      val merged = state.unionByName(msgs)
+        .groupBy("vertex").agg(min(col("lbl")).as("lbl"))
+      val (next, rel) = graft.core.Superstep.checkpointReleasable(merged, eager = true)
+      val s = next.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      release(); state = next; release = rel
+      it += 1
+      if (s == prevSum) return (state, release)
+      prevSum = s
+    }
+    throw new IllegalStateException(
+      s"SCC min-label propagation did not reach a fixpoint in $maxInner supersteps")
+  }
+}
