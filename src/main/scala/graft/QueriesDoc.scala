@@ -72,6 +72,15 @@ object QueriesDoc {
         round(avg(col("q")), 6).as("avg_quality"))
       .orderBy("lang")
 
+  /** Vocabulary statistics per language — the Heaps/Zipf corpus-health
+    * readout (vocabulary size vs token volume, hapax mass, head-term
+    * concentration). All-integer except top_share, ONE IEEE division
+    * rounded 6 dp. The per-language top term is a row_number over the
+    * language-partitioned term-frequency table (vocabulary-sized
+    * partitions, never a global sort). */
+  def qVocabStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextOps.vocabStats(Tables.documents(spark, sfDir)).orderBy("lang")
+
   // ---- dedup ---------------------------------------------------------------
 
   /** Exact dedup keyed on normalized text (SQL-oracle-friendly variant of

@@ -94,6 +94,7 @@ object SparkEntry {
     "q_token_stats"      -> (QueriesDoc.qTokenStats _),
     "q_tfidf"            -> (QueriesDoc.qTfidf _),
     "q_corpus_stats"     -> (QueriesDoc.qCorpusStats _),
+    "q_vocab_stats"      -> (QueriesDoc.qVocabStats _),
     "q_text_quality"     -> (QueriesDoc.qTextQuality _),
     "q_langid"           -> (QueriesDoc.qLangId _),
     "q_fingerprint"      -> (QueriesDoc.qFingerprint _),
@@ -1214,6 +1215,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(r AS BIGINT) AS rank, term, CAST(tf AS BIGINT) AS tf,
         |  round(score, 6) AS score
         |FROM rk WHERE r <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // Heaps/Zipf vocabulary rollup: same whitespace tokens, all-integer
+    // stats + ONE division; top term tie-broken (count desc, term asc).
+    // duckdb sum(BIGINT) -> HUGEINT: cast back
+    "q_vocab_stats" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS c FROM toks WHERE term <> ''
+        |       GROUP BY lang, term),
+        |stats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+        |          CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |          FROM tf GROUP BY lang),
+        |top AS (SELECT lang, term AS top_term, c AS top_count FROM (
+        |          SELECT lang, term, c,
+        |            row_number() OVER (PARTITION BY lang ORDER BY c DESC, term ASC) AS rn
+        |          FROM tf) WHERE rn = 1)
+        |SELECT stats.lang AS lang, n_terms, n_tokens, n_hapax, top_term,
+        |  CAST(top_count AS BIGINT) AS top_count,
+        |  round(CAST(top_count AS DOUBLE) / n_tokens, 6) AS top_share
+        |FROM stats JOIN top ON stats.lang = top.lang
+        |ORDER BY lang""".stripMargin,
 
     "q_corpus_stats" ->
       s"""SELECT lang,

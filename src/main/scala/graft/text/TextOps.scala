@@ -200,6 +200,36 @@ object TextOps {
         round(col("score"), 6).as("score"))
   }
 
+  /** Vocabulary statistics per language — the Heaps/Zipf corpus-health
+    * readout (vocabulary size vs token volume, hapax mass, head-term
+    * concentration). All-integer except top_share, ONE IEEE division
+    * rounded 6 dp — deterministic cross-engine. The per-language top term
+    * is a row_number over the language-partitioned term-frequency table
+    * (vocabulary-sized partitions, never a global sort); both rollups
+    * partial-aggregate map-side.
+    *
+    * @param docs (lang, text, …) — one output row per language:
+    *             (lang, n_terms, n_tokens, n_hapax, top_term, top_count,
+    *              top_share). */
+  def vocabStats(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    val stats = tf.groupBy("lang").agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("c")).as("n_tokens"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("term").asc)
+    val top = tf.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("lang"), col("term").as("top_term"), col("c").as("top_count"))
+    stats.join(top, "lang")
+      .select(col("lang"), col("n_terms"), col("n_tokens"), col("n_hapax"),
+        col("top_term"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_tokens"), 6).as("top_share"))
+  }
+
   // ---- DataFrame-level conveniences ---------------------------------------
 
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
