@@ -89,7 +89,26 @@ object DumpPlans {
       "q_neardup_clusters" -> ("Dedup-pipeline composition: LSH candidate pairs -> " +
         "exact-Jaccard verify -> small-star/large-star connected components -> left " +
         "join back to the corpus; the pair graph is tiny relative to the corpus, so " +
-        "AQE broadcasts the component labels."))
+        "AQE broadcasts the component labels."),
+      "q_truss" -> ("k-truss final round (the plan below is the converged edge " +
+        "set's support recount): the degree-oriented wedge join bounds per-task " +
+        "fan-out at O(sqrt(m)) neighbors, every stage an equi-join + partial " +
+        "aggregate; the peeling loop re-plans this shape on a shrinking, " +
+        "checkpoint-released edge set each round."),
+      "q_tfidf" -> ("TF-IDF top-terms: explode is narrow; tf and df are two " +
+        "partial-aggregated rollups; the df side is vocabulary-sized so AQE " +
+        "broadcasts it; the top-k window partitions by doc_id — millions of tiny " +
+        "partitions, never a global sort."),
+      "q_salsa" -> ("SALSA final superstep (converged chains): each half-step is " +
+        "one equi-join against the src-partitioned persisted edge table + one " +
+        "map-side-combined sum — Θ(E) messages per iteration, no windows, no " +
+        "driver round-trips inside the chain."),
+      "q_degree_dist" -> ("Degree histogram: symmetrize union -> one per-vertex " +
+        "partial-aggregated count -> one tiny bucket aggregate; the log2 bucket is " +
+        "a narrow codegen projection (binary digit count, integer-exact)."),
+      "q_vocab_stats" -> ("Vocabulary rollup: explode -> (lang,term) partial " +
+        "aggregate -> per-lang stats + a language-partitioned top-1 window " +
+        "(vocabulary-sized partitions); join of two lang-keyed slivers at the top."))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan evidence (`.explain(\"formatted\")`)\n\n")
