@@ -75,9 +75,9 @@ object QueriesDoc {
   /** Vocabulary statistics per language — the Heaps/Zipf corpus-health
     * readout (vocabulary size vs token volume, hapax mass, head-term
     * concentration). All-integer except top_share, ONE IEEE division
-    * rounded 6 dp. The per-language top term is a row_number over the
-    * language-partitioned term-frequency table (vocabulary-sized
-    * partitions, never a global sort). */
+    * rounded 6 dp. The per-language top term is a partial-aggregating
+    * min_by argmax folded into the stats aggregate (no per-language window
+    * task, no stats/top join — round-6 optimization). */
   def qVocabStats(spark: SparkSession, sfDir: String): DataFrame =
     TextOps.vocabStats(Tables.documents(spark, sfDir)).orderBy("lang")
 

@@ -72,6 +72,15 @@ object Bipartite {
         it += 1
       }
     }
+    // Round cap THROWS rather than silently dropping unreached vertices:
+    // an unsettled vertex would get no parity row, the conflict join below
+    // would drop its edges, and a non-bipartite component of radius >
+    // maxIter would read is_bipartite=1 (round-5 ADVICE; the Truss/SCC
+    // discipline).
+    if (!done)
+      throw new IllegalStateException(
+        s"bipartite BFS did not settle every vertex in $maxIter rounds — " +
+          "component radius exceeds the cap; raise maxIter")
 
     val parity = settled.select(col("vertex"), (col("dist") % 2).as("p"))
     val conflicts = canon

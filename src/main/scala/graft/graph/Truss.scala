@@ -35,33 +35,47 @@ object Truss {
       TriangleCount.canonicalEdges(edges), eager = true)
     var n = ed.count()
     var it = 0
-    while (it < maxIter) {
-      // per-edge support: every triangle (a<b<c) supports its three edges
-      // (ed is already canonical; the rename just satisfies the src/dst
-      // input contract — re-canonicalization inside is a no-op)
-      val tri = TriangleCount.triangles(spark,
-        ed.select(col("a").as("src"), col("b").as("dst")))
-      val triEdges = tri.select(explode(array(
-          struct(col("a").as("x"), col("b").as("y")),
-          struct(col("a").as("x"), col("c").as("y")),
-          struct(col("b").as("x"), col("c").as("y")))).as("e"))
-        .select(col("e.x").as("a"), col("e.y").as("b"))
-      val sup = triEdges.groupBy("a", "b").agg(count(lit(1)).as("support"))
-      val withSup = ed.join(sup, Seq("a", "b"), "left")
-        .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
-      val (ws, relWs) = graft.core.Superstep.checkpointReleasable(withSup, eager = true)
-      val kept = ws.where(col("support") >= minSup)
-      val nKept = kept.count()
-      if (nKept == n) { // fixpoint: ws's support already reflects the final edge set
-        release()
-        return ws
+    var result: DataFrame = null
+    try {
+      while (result == null) {
+        if (it >= maxIter)
+          throw new IllegalStateException(
+            s"truss(k=$k) did not reach a fixpoint in $maxIter peeling rounds")
+        // per-edge support: every triangle (a<b<c) supports its three edges
+        // (ed is already canonical; the rename just satisfies the src/dst
+        // input contract — re-canonicalization inside is a no-op)
+        val tri = TriangleCount.triangles(spark,
+          ed.select(col("a").as("src"), col("b").as("dst")))
+        val triEdges = tri.select(explode(array(
+            struct(col("a").as("x"), col("b").as("y")),
+            struct(col("a").as("x"), col("c").as("y")),
+            struct(col("b").as("x"), col("c").as("y")))).as("e"))
+          .select(col("e.x").as("a"), col("e.y").as("b"))
+        val sup = triEdges.groupBy("a", "b").agg(count(lit(1)).as("support"))
+        val withSup = ed.join(sup, Seq("a", "b"), "left")
+          .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+        val (ws, relWs) = graft.core.Superstep.checkpointReleasable(withSup, eager = true)
+        try {
+          val kept = ws.where(col("support") >= minSup)
+          val nKept = kept.count()
+          if (nKept == n) { // fixpoint: ws's support reflects the final edge set
+            release() // ed is dead; ws's blocks stay live for the caller
+            result = ws
+          } else {
+            val (next, relNext) = graft.core.Superstep.checkpointReleasable(
+              kept.select("a", "b"), eager = true)
+            release(); relWs()
+            ed = next; release = relNext; n = nKept; it += 1
+          }
+        } catch {
+          // free this round's support checkpoint on abnormal exit (round-5
+          // ADVICE: the maxIter/throw path must not leak live blocks)
+          case t: Throwable => relWs(); throw t
+        }
       }
-      val (next, relNext) = graft.core.Superstep.checkpointReleasable(
-        kept.select("a", "b"), eager = true)
-      release(); relWs()
-      ed = next; release = relNext; n = nKept; it += 1
+      result
+    } catch {
+      case t: Throwable => release(); throw t // frees the live ed checkpoint
     }
-    throw new IllegalStateException(
-      s"truss(k=$k) did not reach a fixpoint in $maxIter peeling rounds")
   }
 }

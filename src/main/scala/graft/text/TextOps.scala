@@ -204,9 +204,12 @@ object TextOps {
     * readout (vocabulary size vs token volume, hapax mass, head-term
     * concentration). All-integer except top_share, ONE IEEE division
     * rounded 6 dp — deterministic cross-engine. The per-language top term
-    * is a row_number over the language-partitioned term-frequency table
-    * (vocabulary-sized partitions, never a global sort); both rollups
-    * partial-aggregate map-side.
+    * is a partial-aggregating argmax — `min_by` over (−count, term), the
+    * same (count desc, term asc) order the old per-language window sorted
+    * by — so no task ever sorts a language's whole vocabulary (round-5
+    * VERDICT #2: with ~7 languages the row_number window put 10⁸+ terms
+    * through ONE task per language at corpus scale); everything combines
+    * map-side and the stats/top join disappears into one aggregate.
     *
     * @param docs (lang, text, …) — one output row per language:
     *             (lang, n_terms, n_tokens, n_hapax, top_term, top_count,
@@ -216,18 +219,17 @@ object TextOps {
       .select(col("lang"), explode(tokens(lower(col("text")))).as("term"))
       .where(col("term") =!= "")
       .groupBy("lang", "term").agg(count(lit(1)).as("c"))
-    val stats = tf.groupBy("lang").agg(
-      count(lit(1)).as("n_terms"),
-      sum(col("c")).as("n_tokens"),
-      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("c").desc, col("term").asc)
-    val top = tf.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("lang"), col("term").as("top_term"), col("c").as("top_count"))
-    stats.join(top, "lang")
+    // (count desc, term asc) argmax: counts are >= 1 so -c never overflows;
+    // (−c, term) is unique per language (term is the grouping key), making
+    // the argmax deterministic without any window sort.
+    tf.groupBy("lang").agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        min_by(struct(col("term"), col("c")), struct(-col("c"), col("term"))).as("top"))
       .select(col("lang"), col("n_terms"), col("n_tokens"), col("n_hapax"),
-        col("top_term"), col("top_count"),
-        round(col("top_count").cast("double") / col("n_tokens"), 6).as("top_share"))
+        col("top.term").as("top_term"), col("top.c").as("top_count"),
+        round(col("top.c").cast("double") / col("n_tokens"), 6).as("top_share"))
   }
 
   // ---- DataFrame-level conveniences ---------------------------------------

@@ -96,4 +96,15 @@ class BipartiteSpec extends SparkTestBase {
       }
     }
   }
+
+  test("round cap throws instead of returning a silently partial coloring") {
+    // a path of radius 5 with maxIter = 2: the BFS cannot settle every
+    // vertex, and the old code would report the component bipartite on
+    // whatever parity rows existed (round-5 ADVICE) — now it must throw
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val ex = intercept[IllegalStateException] {
+      graft.graph.Bipartite.check(spark, path.toDF("src", "dst"), maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not settle"))
+  }
 }

@@ -28,16 +28,4 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("the verify skill's stated query count matches the catalog") {
-    val f = ".claude/skills/verify/SKILL.md"
-    val p = java.nio.file.Paths.get(f)
-    if (java.nio.file.Files.exists(p)) { // absent in stripped checkouts
-      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      val pat = """\((\d+) queries — CatalogSpec pins""".r
-      val counts = pat.findAllMatchIn(text).map(_.group(1).toInt).toList
-      assert(counts.nonEmpty, s"$f no longer states the catalog size")
-      counts.foreach(c => assert(c == SparkEntry.queries.size,
-        s"$f says '$c queries' but SparkEntry.queries has ${SparkEntry.queries.size}"))
-    }
-  }
 }

@@ -118,4 +118,68 @@ class NeighborhoodFunctionSpec extends SparkTestBase {
       }
     }
   }
+
+  test("planted mega-hub: bounded union matches the unsalted reference formulation") {
+    // one vertex with degree >> everything (the SimilaritySpec maxBucket
+    // pattern): the hub's merge previously accumulated Θ(degree·k) longs in
+    // one aggregation buffer; KmvUnionAgg caps it at k. Output must be
+    // IDENTICAL to the unbounded flatten(collect_list)-then-slice form.
+    import org.apache.spark.sql.functions._
+    val hubDeg = 3000
+    val edges = (1L to hubDeg.toLong).map(i => (0L, i)) ++ // the hub
+      Seq((1L, 2L), (2L, 3L), (5001L, 5002L)) // some off-hub structure
+    val k = 16
+    val df = edges.toDF("src", "dst")
+    val got = NeighborhoodFunction.kmvReach(spark, df, hops = 2, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+
+    // unsalted reference twin, inlined (the pre-round-6 formulation)
+    val e0 = df.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val bi = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      .localCheckpoint(true) // break lineage so state⋈bi is not an ambiguous self-join
+    def vhash(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    var state = bi.select(col("src").as("v")).distinct()
+      .select(col("v"), array(vhash(col("v"))).as("sk"))
+      .localCheckpoint(true) // fresh attributes, like the real sketchLoop's state
+    (1 to 2).foreach { _ =>
+      val msgs = state.join(bi, state("v") === bi("src")).select(bi("dst").as("v"), col("sk"))
+      state = state.unionByName(msgs).groupBy("v")
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))), 1, k).as("sk"))
+        .localCheckpoint(true) // per-hop lineage break, like the real sketchLoop
+    }
+    val want = state.select(col("v"),
+        size(col("sk")).cast("long").as("n"),
+        round(when(size(col("sk")) < k, size(col("sk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / element_at(col("sk"), k)), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // hub saturates: 2-hop ball of vertex 0 is the whole star component
+    assert(got.find(_._1 == 0L).get._2 == k.toLong)
+  }
+
+  test("KmvUnionAgg: buffer never exceeds k and equals sorted-distinct-take-k") {
+    val k = 8
+    val agg = new graft.functions.KmvUnionAgg(k)
+    val rnd = new scala.util.Random(7)
+    // stream 100k arrays through reduce, tracking the max buffer size ever
+    var buf = agg.zero
+    var maxLen = 0
+    val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to 100000).foreach { _ =>
+      val xs = Seq.fill(1 + rnd.nextInt(3))(rnd.nextLong().abs % 10000)
+      all ++= xs
+      buf = agg.reduce(buf, xs)
+      maxLen = math.max(maxLen, buf.length)
+    }
+    assert(maxLen <= k, s"buffer grew to $maxLen > k=$k")
+    assert(buf == all.distinct.sorted.take(k).toSeq)
+    // merge is associative and also bounded
+    val parts = all.grouped(1000).map(g =>
+      g.foldLeft(agg.zero)((b, x) => agg.reduce(b, Seq(x)))).toSeq
+    val merged = parts.foldLeft(agg.zero)(agg.merge)
+    assert(merged == all.distinct.sorted.take(k).toSeq)
+    assert(parts.forall(_.length <= k))
+  }
 }

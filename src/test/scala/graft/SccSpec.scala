@@ -81,6 +81,24 @@ class SccSpec extends SparkTestBase {
     assert(got == Map(1L -> 1L, 2L -> 2L, 9L -> 9L))
   }
 
+  test("monotone chain longer than the outer-round cap resolves via trim") {
+    // 1 -> 2 -> ... -> 70: a pure DAG chain. Pre-trim, each FW-BW outer
+    // round resolved exactly one vertex (min-ancestor = min-descendant only
+    // at the chain head), so 70 vertices blew the 64-round cap and threw.
+    // The degree-trim phase peels both chain ends each pass and resolves the
+    // whole graph without a single FW-BW round (round-5 VERDICT #6).
+    val chain = (1L to 70L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = run(chain)
+    assert(got == (1L to 70L).map(v => v -> v).toMap)
+  }
+
+  test("trim does not break mixed topology: chain feeding a cycle") {
+    // tendril 1->2->3 into cycle 3->4->5->3, plus out-tendril 5->9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 3L), (5L, 9L))
+    val got = run(edges)
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L, 5L -> 3L, 9L -> 9L))
+  }
+
   test("random digraphs: matches Tarjan") {
     val gen = for {
       n <- Gen.choose(4, 16)
