@@ -64,7 +64,9 @@ object Queries {
     * like the edge table it is materialized once per session. */
   def cc(spark: SparkSession, sfDir: String): DataFrame =
     cached(spark, sfDir, "cc") {
-      ConnectedComponents.run(spark, edges(spark, sfDir))
+      // the co-occurrence build already emits canonical (src < dst) distinct
+      // edges, so CC can skip its re-canonicalization pass + exchange
+      ConnectedComponents.run(spark, edges(spark, sfDir), inputCanonical = true)
     }
 
   /** Universe of objects (parts) with priority rank = part key order. */

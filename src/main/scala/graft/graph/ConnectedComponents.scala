@@ -26,13 +26,21 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges DataFrame with long columns (src, dst); orientation/dups ok.
+    * @param inputCanonical when the caller guarantees edges are already
+    *              canonical (src < dst, distinct, no self-loops — e.g. the
+    *              output of a groupBy(src, dst) co-occurrence build), skip
+    *              the least/greatest + distinct pass and its exchange; the
+    *              default re-canonicalizes, which is always correct.
     * @return DataFrame (vertex: Long, component: Long), component = min id.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
-      .distinct()
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 64,
+          inputCanonical: Boolean = false): DataFrame = {
+    val base = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    var e = (if (inputCanonical) base
+      else base
+        .where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+        .distinct())
       .localCheckpoint(true)
 
     // All vertices present in the input (needed to emit singletons of the

@@ -87,7 +87,7 @@ object PageRank {
       .unionByName(e.select(col("dst").as("vertex"), lit(false).as("_has_out")))
       .groupBy(col("vertex")).agg(max(col("_has_out")).as("_has_out"))
       .select(col("vertex"), (!col("_has_out")).as("dangling"))
-    val st0 = seeds match {
+    val st0pre = seeds match {
       case None => st0base.withColumn("seed", lit(false))
       case Some(sd) =>
         val sv = sd.select(col(sd.columns.head).cast("long").as("vertex")).distinct()
@@ -96,6 +96,12 @@ object PageRank {
           .select(col("vertex"), col("dangling"),
             coalesce(col("_is_seed"), lit(false)).as("seed"))
     }
+    // Checkpoint (vertex, dangling, seed) ONCE: the scalar aggregate below
+    // and the initial rank state both read it — previously each triggered
+    // its own full recomputation of the union+aggregate pipeline (two jobs
+    // where one suffices). Released after superstep 0 materializes, via the
+    // releasePrev chain.
+    val (st0, relSt0) = graft.core.Superstep.checkpointReleasable(st0pre, eager = true)
     val r0: Row = st0
       .agg(count(lit(1)).as("n"),
         coalesce(sum(when(col("dangling"), lit(1L)).otherwise(lit(0L))), lit(0L)).as("nd"),
@@ -113,11 +119,13 @@ object PageRank {
     var danglingMass =
       if (seeds.isEmpty) r0.getLong(1).toDouble / n
       else r0.getLong(3).toDouble / nSeeds
+    // initial state = narrow projection over the st0 checkpoint (no second
+    // checkpoint copy — st0's blocks ARE the superstep-0 input, freed once
+    // superstep 1 materializes via the releasePrev chain)
     var state =
-      if (resumeStep >= 0) ckpt.get.read(resumeStep)
+      if (resumeStep >= 0) { relSt0(); ckpt.get.read(resumeStep) }
       else st0.select(col("vertex"), col("dangling"), teleCol.as("tele"),
-          teleCol.as("rank"))
-        .localCheckpoint(true)
+        teleCol.as("rank"))
     var it = math.max(resumeStep + 1, 0)
     var converged = false
     if (resumeStep >= 0) ckpt.get.scalars(resumeStep).foreach { case (delta, carry) =>
@@ -127,8 +135,9 @@ object PageRank {
 
     val stepSecs = Vector.newBuilder[Double]
     // frees superstep k-1's checkpoint blocks once k is materialized; the
-    // FINAL state is never released (the caller reads Result.ranks from it)
-    var releasePrev: () => Unit = () => ()
+    // FINAL state is never released (the caller reads Result.ranks from it).
+    // Superstep 0's "previous state" is the st0 checkpoint itself.
+    var releasePrev: () => Unit = if (resumeStep >= 0) () => () else relSt0
     while (!converged && it < maxIter) {
       val loopT0 = System.nanoTime()
       // Pregel union-carrier: the state row rides along as a

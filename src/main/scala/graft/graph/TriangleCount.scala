@@ -42,9 +42,19 @@ object TriangleCount {
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
   }
 
-  /** All triangles as (a, b, c) with a < b < c, each exactly once. */
+  /** All triangles as (a, b, c) with a < b < c, each exactly once.
+    *
+    * The oriented edge table feeds THREE consumers below (both wedge sides
+    * and the closing-edge probe); without a cache barrier the whole
+    * canonicalize→degree→orient pipeline re-executes once per consumer
+    * (no ReuseExchange fires — the broadcast sides differ). Persisting it
+    * (registered with [[graft.core.CacheRegistry]]: plan-dedup'd, LRU-
+    * bounded, so repeated calls — e.g. Truss's per-round invocation — stay
+    * bounded) computes it once per call. */
   def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val or = oriented(canonicalEdges(edges))
+    val or = graft.core.CacheRegistry.register(
+      oriented(canonicalEdges(edges))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val l = or.toDF("u", "va", "dva")
     val r = or.toDF("u", "vb", "dvb")
     // ordered out-neighbor pairs at the middle vertex: (dva,va) < (dvb,vb),
