@@ -121,10 +121,14 @@ object Louvain {
     depth
   }
 
-  def ensureConnected(spark: SparkSession, edges: DataFrame, assignment: DataFrame): DataFrame = {
+  def ensureConnected(spark: SparkSession, edges: DataFrame, assignment: DataFrame,
+                      inputCanonical: Boolean = false): DataFrame = {
     val a = assignment.select(col("vertex"), col("community"))
     val intra = intraEdges(edges, a)
-    val comp = ConnectedComponents.run(spark, intra)
+    // intra edges inherit the caller graph's canonicalization: run() passes
+    // inputCanonical = true (its level graphs are grouped by (a < b)), so
+    // the refinement CC skips its re-canonicalization pass + exchange
+    val comp = ConnectedComponents.run(spark, intra, inputCanonical = inputCanonical)
       .select(col("vertex").as("v"), col("component"))
     a.join(comp, a("vertex") === comp("v"), "left")
       .select(a("vertex"), coalesce(col("component"), a("vertex")).as("community"))
@@ -188,7 +192,8 @@ object Louvain {
       val comm = if (connectedGuarantee && moved) {
         ensureConnected(spark,
           g.where(col("a") =!= col("b")).select(col("a").as("src"), col("b").as("dst")),
-          commRaw.select(col("vertex"), col("comm").as("community")))
+          commRaw.select(col("vertex"), col("comm").as("community")),
+          inputCanonical = true)
           .select(col("vertex"), col("community").as("comm"))
       } else commRaw
       improvedAtLevel = moved0
@@ -254,11 +259,16 @@ object Louvain {
     while (pass < maxPasses && (!earlyStop || idleStreak < 2)) {
       // Σtot per community
       val tot = comm.join(kv, "vertex").groupBy(col("comm")).agg(sum(col("k")).as("tot"))
-      // k_{v→c}: neighbor mass of v into community c
-      val kvc = bi.join(comm.select(col("vertex").as("v"), col("comm").as("c")), "v")
-        .groupBy(col("u"), col("c")).agg(sum(col("w")).as("kc"))
-      // candidate set = neighbor communities ∪ current community (carrier)
-      val cand = kvc.unionByName(
+      // k_{v→c}: neighbor mass of v into community c, with the current
+      // community riding along as a zero-mass carrier row. ONE (u, c)
+      // aggregation over the unioned messages — the previous shape
+      // aggregated kvc first and re-aggregated after the carrier union,
+      // exchanging the Θ(E) candidate table twice for the same sums
+      // (sum∘union = sum of sums; the masses are integer-valued doubles,
+      // so the fused sum is IEEE-identical).
+      val kvcMsgs = bi.join(comm.select(col("vertex").as("v"), col("comm").as("c")), "v")
+        .select(col("u"), col("c"), col("w").as("kc"))
+      val cand = kvcMsgs.unionByName(
           comm.select(col("vertex").as("u"), col("comm").as("c"), lit(0.0).as("kc")))
         .groupBy(col("u"), col("c")).agg(sum(col("kc")).as("kc"))
         .join(tot.select(col("comm").as("c"), col("tot")), "c")

@@ -107,8 +107,9 @@ object DumpPlans {
         "partial-aggregated count -> one tiny bucket aggregate; the log2 bucket is " +
         "a narrow codegen projection (binary digit count, integer-exact)."),
       "q_vocab_stats" -> ("Vocabulary rollup: explode -> (lang,term) partial " +
-        "aggregate -> per-lang stats + a language-partitioned top-1 window " +
-        "(vocabulary-sized partitions); join of two lang-keyed slivers at the top."))
+        "hash aggregate -> ONE per-lang aggregate whose min_by argmax computes the " +
+        "top term map-side-combined (round 6: no WindowExec, no per-language " +
+        "vocabulary sort, no stats/top join anywhere in this plan)."))
 
     val md = new StringBuilder
     md.append("# PLANS — physical-plan evidence (`.explain(\"formatted\")`)\n\n")
