@@ -1,7 +1,6 @@
 package graft.cluster
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Ranking
@@ -68,11 +67,15 @@ object Shaping {
   }
 
   /** O3 — replace the cluster id with the cluster's representative: the first
-    * member in final order. */
+    * member in final order. Partial-aggregating min_by argmax + join back,
+    * not a per-cluster window — a window would sort a giant cluster's full
+    * member list in one task just to read its head (round 6; tie keys are
+    * unique per cluster in every caller, so the argmax is deterministic). */
   def fillRepresentatives(assign: DataFrame, rankCol: Option[String] = None): DataFrame = {
     val tie = rankCol.map(col).getOrElse(col("object"))
-    val w = Window.partitionBy(col("cluster")).orderBy(tie.asc)
-    assign.withColumn("representative", first(col("object")).over(w))
-      .select(col("object"), col("representative").as("cluster_rep"), col("cluster"))
+    val reps = assign.groupBy(col("cluster"))
+      .agg(min_by(col("object"), tie).as("cluster_rep"))
+    assign.join(reps, "cluster")
+      .select(col("object"), col("cluster_rep"), col("cluster"))
   }
 }

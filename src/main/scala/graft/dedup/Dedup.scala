@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextOps
@@ -117,8 +116,15 @@ object Dedup {
                    textCol: String = "text", k: Int = 32, bands: Int = 8,
                    shingleN: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val buckets = lshBuckets(docs, idCol, textCol, k, bands, shingleN)
-    val capped = buckets.withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .where(col("bn") <= maxBucket)
+    // Bucket cap via partial-aggregated count + join, NOT a window: a
+    // window partitioned by (band, bucket) funnels a degenerate mega-bucket
+    // — the exact thing the cap exists to defuse — through ONE sort task
+    // before dropping it. The groupBy count combines map-side and the join
+    // spreads the doomed bucket's rows across tasks (round 6; the
+    // q_vocab_stats argmax argument applied to the guardrail itself).
+    val sizes = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn")).where(col("bn") <= maxBucket)
+    val capped = buckets.join(sizes, Seq("band", "bucket"))
     val l = capped.select(col("band"), col("bucket"), col(idCol).as("a"))
     val rt = capped.select(col("band"), col("bucket"), col(idCol).as("b"))
     // the candidate id-pair set is tiny (8-byte keys, post-cap) and feeds

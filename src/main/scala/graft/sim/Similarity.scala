@@ -198,13 +198,15 @@ object Similarity {
 
   /** Drop (band, bucket) groups larger than `maxBucket` — the skew guardrail
     * (same as [[graft.dedup.Dedup.minhashPairs]]): without it one hot bucket
-    * makes the bucket self-join quadratic in a single task. The window is
-    * PARTITIONED by (band, bucket) — no global funnel. */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
-    banded.withColumn("_bn", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("_bn") <= maxBucket)
-      .drop("_bn")
+    * makes the bucket self-join quadratic in a single task. Implemented as a
+    * partial-aggregated count + join rather than a (band, bucket) window,
+    * which would have funneled the very mega-bucket being dropped through
+    * one sort task first (round 6). */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bn")).where(col("_bn") <= maxBucket)
+    banded.join(sizes, Seq("band", "bucket")).drop("_bn")
+  }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold),
     * candidates restricted to shared LSH bands. Same (r, bands) recall
