@@ -81,13 +81,24 @@ object ConnectedComponents {
     * to m(u) = min(N(u) ∪ {u}). Keeps canonical (small, large) orientation.
     * No dedup here: the algorithm tolerates parallel edges for one hop and
     * smallStar's final distinct (which the convergence checksum needs
-    * anyway) collapses them — one less shuffle per round. */
+    * anyway) collapses them — one less shuffle per round.
+    *
+    * Exploits the loop's canonical invariant (every e row has src < dst —
+    * true of run()'s input and preserved by smallStar, whose outputs link
+    * minima to larger vertices): u's dst-side neighbors are all > u, so
+    * m(u) = least(u, min src over u's IN-edges) — computable from the E
+    * canonical rows directly. The previous formulation materialized the
+    * 2E-row bidirected union twice per round (once through the min
+    * aggregate's hash map, once through the join's probe side); this one
+    * aggregates and joins E rows (round 6, guide §2.3: shuffle/process
+    * fewer bytes for the same answer). The strictly-larger-neighbor pairs
+    * are exactly the canonical rows themselves, so the join-back emits one
+    * row per edge. */
   private def largeStar(e: DataFrame): DataFrame = {
-    val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val m = bi.groupBy("src").agg(least(min(col("dst")), first(col("src"))).as("m"))
-    bi.join(m, "src")
-      .where(col("dst") > col("src"))
-      .select(col("m").as("src"), col("dst"))
+    val m = e.select(col("dst").as("u"), col("src").as("s"))
+      .groupBy("u").agg(min(col("s")).as("ms"))
+    e.join(m, e("src") === m("u"), "left")
+      .select(least(e("src"), coalesce(col("ms"), e("src"))).as("src"), e("dst").as("dst"))
       .where(col("src") =!= col("dst"))
   }
 
